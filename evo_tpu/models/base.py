@@ -1,0 +1,132 @@
+"""Shared model-layer infrastructure: data containers, blocking, stats.
+
+The reference threads three mutable dicts (`model_params`, `my_suff_stat`,
+`my_data`, reference: evo/models/_models.py:162-203) through every call.
+Here the same state is immutable pytrees:
+
+  - params  (model-specific dataclass, e.g. BSCParams)
+  - EState  (K^(n) state sets + log-pseudo-joints; evo_tpu.variational)
+  - Data    (observations + masks, below)
+
+Batch layout: every per-datapoint array is *blocked* as [nb, B, ...].  The
+jitted em_step lax.scan's over the nb leading axis (bounding device memory for
+large N) while the B axis is sharded over the mesh's 'data' axis — the
+TPU-native replacement for the reference's MPI Scatterv data parallelism
+(reference: evo/utils/parallel.py:117-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Data:
+    """Observations and masks, blocked [nb, B, ...].
+
+    y:         [nb, B, D] — observations; *missing entries are zeroed* (the
+               raw data marks them NaN; see make_data)
+    x_infr:    [nb, B, D] bool — entries reliable for inference/learning
+               (reference my_data['x_infr'])
+    x:         [nb, B, D] bool — entries to KEEP as-is during reconstruction;
+               ~x is estimated (reference my_data['x'])
+    row_valid: [nb, B] bool — False for padding rows added to make N divisible
+               by (n_blocks * n_devices); padding never contributes to sums
+    incomplete: static — whether any entry of x_infr is False (selects the
+               masked code paths at trace time)
+    """
+
+    y: jnp.ndarray
+    x_infr: jnp.ndarray
+    x: jnp.ndarray
+    row_valid: jnp.ndarray
+    incomplete: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def D(self) -> int:
+        return self.y.shape[-1]
+
+
+def pad_rows(N: int, multiple: int) -> int:
+    return (-N) % multiple
+
+
+def make_data(
+    y: np.ndarray,
+    x: Optional[np.ndarray] = None,
+    n_blocks: int = 1,
+    pad_multiple: int = 1,
+    dtype=jnp.float32,
+) -> Data:
+    """Build a blocked Data pytree from raw observations.
+
+    Missing entries of `y` are marked NaN (as in the reference drivers, e.g.
+    examples/image-inpainting/main.py:83); they are zeroed here and tracked in
+    x_infr.  `x` marks entries to keep during reconstruction; defaults to
+    x_infr (reconstruct exactly the missing entries, the inpainting setup); a
+    denoising driver passes x = zeros to re-estimate every entry.
+    """
+    y = np.asarray(y)
+    N, D = y.shape
+    x_infr = ~np.isnan(y)
+    incomplete = bool((~x_infr).any())
+    y = np.where(x_infr, y, 0.0)
+    if x is None:
+        x = x_infr.copy()
+    else:
+        x = np.asarray(x).astype(bool)
+
+    pad = pad_rows(N, n_blocks * pad_multiple)
+    if pad:
+        y = np.concatenate([y, np.zeros((pad, D), y.dtype)], axis=0)
+        x_infr = np.concatenate([x_infr, np.ones((pad, D), bool)], axis=0)
+        x = np.concatenate([x, np.ones((pad, D), bool)], axis=0)
+    row_valid = np.arange(N + pad) < N
+
+    def blk(a):
+        return jnp.asarray(a.reshape((n_blocks, -1) + a.shape[1:]))
+
+    return Data(
+        y=blk(y.astype(np.dtype(dtype))),
+        x_infr=blk(x_infr),
+        x=blk(x),
+        row_valid=blk(row_valid),
+        incomplete=incomplete,
+    )
+
+
+def blockify(tree, n_blocks: int):
+    """[N, ...] -> [nb, N/nb, ...] on every leaf."""
+    return jax.tree.map(
+        lambda a: a.reshape((n_blocks, a.shape[0] // n_blocks) + a.shape[1:]), tree
+    )
+
+
+def unblockify(tree):
+    """[nb, B, ...] -> [nb*B, ...] on every leaf."""
+    return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), tree)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepStats:
+    """Per-epoch diagnostics, mirroring the reference's logged quantities
+    (F, S_nunique, S_sub: _models.py:540-547; reset counters:
+    _models.py:567-596 reported at bsc.py:163-171)."""
+
+    F: jnp.ndarray
+    S_nunique: jnp.ndarray
+    S_sub: jnp.ndarray
+    n_reset_nan: jnp.ndarray
+    n_reset_small: jnp.ndarray
+    n_reset_inf: jnp.ndarray

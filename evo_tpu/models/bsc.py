@@ -1,0 +1,418 @@
+"""Binary Sparse Coding with evolutionary E-steps (EBSC), TPU-native.
+
+Generative model (reference: evo/models/bsc.py):
+    s_h ~ Bernoulli(pi),  y = W s + N(0, sigma^2 I),  W in R^{D x H}
+
+log-pseudo-joint (reference bsc.py:79-97):
+    lpj(s, y) = pre1 * || m .* (W s - y) ||^2 + pil_bar * |s|
+    pre1 = -1/(2 sigma^2), pil_bar = log(pi/(1-pi)), m = x_infr mask
+
+TPU design: instead of the reference's per-datapoint GEMV
+``states @ W[:, x_infr]`` (bsc.py:91-95), the squared residual is expanded as
+
+    ||m.*(Ws - y)||^2 = ||m.*y||^2 - 2 s.(W^T m y) + s^T (W^T diag(m) W) s
+
+so that after a per-datapoint precomputation of Wty = W^T (m.*y) and the Gram
+matrix G = W^T diag(m) W (shared across the batch when data are complete),
+every state evaluation is O(H^2) on the MXU, independent of D, and batches
+over [N, S+children, H] as plain einsums.  This replaces the reference's
+state-id memoization idea with something strictly stronger: the *entire*
+dependence on y and D is precomputed once per datapoint per epoch.
+
+The full EM epoch runs as ONE jitted function: a lax.scan over nb row-blocks,
+each block vmapping the evolutionary E-step over datapoints and accumulating
+the M-step sufficient statistics.  All cross-device reductions are plain
+jnp.sum's over the sharded batch axis — GSPMD lowers them to psums over ICI,
+replacing the reference's MPI Allreduce calls (bsc.py:230-274).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.models.base import Data, StepStats
+from evo_tpu.ops.numerics import (
+    free_energy_from_lpj,
+    posterior_weights,
+    reset_lpj,
+)
+from evo_tpu.variational.config import EAConfig
+from evo_tpu.variational.evolve import evolve_states
+from evo_tpu.variational.state_init import EState, full_state_matrix
+from evo_tpu.variational.varykn import vary_Kn
+
+PARAM_TOL = 1e-5  # reference noise_policy bounds (_models.py:47-52)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BSCParams:
+    W: jnp.ndarray  # [D, H]
+    pi: jnp.ndarray  # scalar
+    sigma: jnp.ndarray  # scalar
+    pies: jnp.ndarray  # [H] — per-unit pi_h, diagnostic only (ref bsc.py:262)
+
+
+@dataclasses.dataclass(frozen=True)
+class BSC:
+    """Static model configuration; all methods are pure functions."""
+
+    D: int
+    H: int
+    to_learn: Tuple[str, ...] = ("W", "pi", "sigma")
+
+    # ------------------------------------------------------------------ init
+
+    def standard_init(self, data: Data, seed: int = 0, W_init=None, pi_init=None,
+                      sigma_init=None) -> BSCParams:
+        """Noisy-data-mean init (reference _models.py:206-283).  The
+        reference broadcasts rank-0 random draws; here determinism across
+        hosts comes from the shared seed."""
+        y = np.asarray(data.y).reshape(-1, self.D)
+        m = np.asarray(data.x_infr).reshape(-1, self.D)
+        valid = np.asarray(data.row_valid).reshape(-1)
+        y, m = y[valid], m[valid]
+        N = y.shape[0]
+
+        if data.incomplete:
+            y_mean = (y * m).sum(0) / N  # ref divides by my_N (_models.py:249)
+        else:
+            y_mean = y.mean(0)
+
+        if sigma_init is None:
+            if data.incomplete:
+                tmp = (((y - y_mean) * m) ** 2).sum()
+                sigma_init = np.sqrt(tmp / m.sum())
+            else:
+                sigma_init = np.sqrt(((y - y_mean) ** 2).mean(0).sum() / self.D)
+            assert sigma_init > 0.0
+
+        rng = np.random.default_rng(seed)
+        if not isinstance(W_init, np.ndarray):
+            if W_init == "random_uniform":
+                W = rng.random((self.D, self.H))
+            elif W_init == "normal":
+                W = rng.normal(0, 5, (self.D, self.H))
+            elif W_init == "data_mean":
+                W = np.tile(y_mean[:, None], (1, self.H))
+            else:
+                W = y_mean[:, None] + rng.normal(scale=sigma_init / 4.0,
+                                                 size=(self.D, self.H))
+        else:
+            W = W_init
+
+        pi = 1.0 / self.H if pi_init is None else pi_init
+        dt = data.y.dtype
+        return BSCParams(
+            W=jnp.asarray(W, dt),
+            pi=jnp.asarray(pi, dt),
+            sigma=jnp.asarray(sigma_init, dt),
+            pies=jnp.full((self.H,), pi, dt),
+        )
+
+    # ----------------------------------------------------------- check/clamp
+
+    def check_params(self, p: BSCParams) -> BSCParams:
+        """Clamp parameters to the reference noise policy (_models.py:47-52,
+        102-159): pi in [tol, 1-tol], sigma >= tol, W unbounded."""
+        return BSCParams(
+            W=p.W,
+            pi=jnp.clip(p.pi, PARAM_TOL, 1.0 - PARAM_TOL),
+            sigma=jnp.clip(p.sigma, PARAM_TOL, None),
+            pies=jnp.clip(p.pies, PARAM_TOL, 1.0 - PARAM_TOL),
+        )
+
+    # ------------------------------------------------------------ generation
+
+    def generate_from_hidden(self, key, params: BSCParams, s) -> dict:
+        """y = W s + sigma*eps (reference bsc.py:27-57)."""
+        sf = s.astype(params.W.dtype)
+        y_mean = sf @ params.W.T
+        y = y_mean + params.sigma * jax.random.normal(key, y_mean.shape, params.W.dtype)
+        return {"y": y, "s": s, "y_mean": y_mean}
+
+    def generate_data(self, key, params: BSCParams, N: int) -> dict:
+        """s_h ~ Bernoulli(pi) (reference _models.py:73-99 uses p <= pi)."""
+        k1, k2 = jax.random.split(key)
+        p = jax.random.uniform(k1, (N, self.H))
+        s = p <= params.pi
+        return self.generate_from_hidden(k2, params, s)
+
+    # ------------------------------------------------------------ precompute
+
+    def _precompute(self, p: BSCParams, data: Data):
+        """State-independent terms (reference bsc.py:100-125)."""
+        dt = p.W.dtype
+        valid = data.row_valid
+        N = jnp.sum(valid.astype(dt))
+        pre1 = -0.5 / (p.sigma * p.sigma)
+        pil_bar = jnp.log(p.pi / (1.0 - p.pi))
+        piH = p.pi * self.H
+        log2pis = jnp.log(2 * jnp.pi * p.sigma * p.sigma)
+        if data.incomplete:
+            sum_d = jnp.sum(
+                data.x_infr.astype(dt) * valid[..., None].astype(dt)
+            )
+            ljc = self.H * jnp.log(1.0 - p.pi) - log2pis * sum_d / N / 2
+        else:
+            sum_d = N * self.D
+            ljc = self.H * jnp.log(1.0 - p.pi) - self.D / 2 * log2pis
+        return dict(pre1=pre1, pil_bar=pil_bar, piH=piH, ljc=ljc, N=N, sum_d=sum_d)
+
+    @staticmethod
+    def _block_gram(W, y_b, xinf_b, incomplete: bool):
+        """Per-block lpj precomputation: (G, Wty, y2).
+
+        complete:   G = W^T W shared [H, H]
+        incomplete: G_n = W^T diag(m_n) W per datapoint [B, H, H]
+        """
+        dt = W.dtype
+        if incomplete:
+            m = xinf_b.astype(dt)
+            G = jnp.einsum("bd,dh,dk->bhk", m, W, W)
+            Wty = jnp.einsum("bd,dh->bh", y_b * m, W)
+            y2 = jnp.sum(m * y_b * y_b, axis=-1)
+        else:
+            G = W.T @ W
+            Wty = y_b @ W
+            y2 = jnp.sum(y_b * y_b, axis=-1)
+        return G, Wty, y2
+
+    @staticmethod
+    def _lpj_one(states, G_n, Wty_n, y2_n, pre1, pil_bar):
+        """lpj of states [K, H] for one datapoint; O(K H^2) on MXU."""
+        sf = states.astype(Wty_n.dtype)
+        sGs = jnp.sum((sf @ G_n) * sf, axis=-1)
+        sWty = sf @ Wty_n
+        quad = y2_n - 2.0 * sWty + sGs
+        return pre1 * quad + pil_bar * jnp.sum(sf, axis=-1)
+
+    # ---------------------------------------------------------------- E-step
+
+    def _estep_one(self, key_n, ss_n, G_n, Wty_n, y2_n, pre, cfg: EAConfig):
+        """Full evolutionary E-step for one datapoint (vmapped over B).
+
+        Mirrors the reference E_step body (_models.py:497-535): evaluate lpj
+        of the current K^(n), evolve new candidates, merge via vary_Kn.
+        """
+        reset_counts = []
+
+        def lpj_fn(states):
+            lpj = self._lpj_one(states, G_n, Wty_n, y2_n, pre["pre1"], pre["pil_bar"])
+            lpj, counts = reset_lpj(lpj)
+            reset_counts.append(counts)
+            return lpj
+
+        lpj_K = lpj_fn(ss_n)
+        if cfg.exact:
+            ss2, lpj2 = ss_n, lpj_K
+            n_uni = jnp.zeros((), jnp.int32)
+            n_sub = jnp.zeros((), jnp.int32)
+        else:
+            children, child_lpj, new_unique = evolve_states(
+                key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
+            )
+            ss2, lpj2, n_sub = vary_Kn(ss_n, lpj_K, children, child_lpj, cfg.mprime)
+            n_uni = new_unique.sum()
+
+        if cfg.allzero:
+            lpj0 = pre["pre1"] * y2_n
+            lpj_full = jnp.concatenate([lpj0[None], lpj2])
+        else:
+            lpj_full = lpj2
+
+        counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
+        return ss2, lpj_full, n_uni, n_sub, counts
+
+    # ---------------------------------------------------------------- epoch
+
+    @partial(jax.jit, static_argnames=("self", "cfg", "do_reconstruction"))
+    def em_step(
+        self,
+        params: BSCParams,
+        estate: EState,
+        data: Data,
+        key,
+        cfg: EAConfig,
+        do_reconstruction: bool = False,
+    ):
+        """One full EM epoch (E-step + optional reconstruction + M-step) as a
+        single jitted scan over row-blocks.
+
+        Returns (new_params, new_estate, stats, y_reconstructed | None).
+
+        Semantics follow reference Model.step (_models.py:162-203): F is the
+        free energy of the *updated* K^(n) under the *old* parameters; the
+        M-step consumes the merged lpj/ss; with incomplete data the M-step's
+        Wp accumulator uses the reconstructed data (bsc.py:185-189).
+        """
+        params = self.check_params(params)
+        pre = self._precompute(params, data)
+        nb, B = data.y.shape[:2]
+        S_perm = cfg.S_perm
+        dt = params.W.dtype
+        W = params.W
+
+        keys = jax.random.split(key, nb * B).reshape(nb, B)
+        G_shared = None if data.incomplete else W.T @ W
+
+        def block_fn(acc, xs):
+            y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
+            G_b, Wty_b, y2_b = self._block_gram(W, y_b, xinf_b, data.incomplete)
+            g_axis = 0 if data.incomplete else None
+
+            ss2, lpj_full, n_uni, n_sub, counts = jax.vmap(
+                self._estep_one, in_axes=(0, 0, g_axis, 0, 0, None, None)
+            )(keys_b, ss_b, G_b, Wty_b, y2_b, pre, cfg)
+
+            vf = valid_b.astype(dt)
+            # ---- free energy contribution (post-merge, old params)
+            from evo_tpu.ops.numerics import shifted_logsumexp
+
+            Fsum = jnp.sum(shifted_logsumexp(lpj_full) * vf)
+
+            # ---- responsibilities
+            r = posterior_weights(lpj_full) * vf[:, None]  # [B, S_perm+S]
+            rs = r[:, S_perm:]  # [B, S]
+            sf = ss2.astype(dt)  # [B, S, H]
+            rho = jnp.einsum("bs,bsh->bh", rs, sf)  # [B, H]
+
+            # ---- reconstruction (posterior-predictive mean,
+            #      reference _models.py:614-665)
+            if do_reconstruction:
+                means = jnp.einsum("bsh,dh->bsd", sf, W)  # [B, S, D]
+                est = jnp.einsum("bs,bsd->bd", rs, means)
+                y_rec = jnp.where(x_b, y_b, est)
+            else:
+                y_rec = None
+
+            # ---- M-step accumulators (reference bsc.py:173-223)
+            y_m = y_rec if (data.incomplete and do_reconstruction) else y_b
+            Wp = jnp.einsum("bh,bd->hd", rho, y_m)
+            Wq = jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf)
+            # sigma: sum_s r * ||m.*(y - Ws)||^2 recovered from the lpj
+            # (residual^2 = (lpj - pil_bar*|s|)/pre1) + allzero term
+            s_abs = jnp.sum(sf, axis=-1)  # [B, S]
+            resid2 = (lpj_full[:, S_perm:] - pre["pil_bar"] * s_abs) / pre["pre1"]
+            sig = jnp.sum(rs * resid2)
+            if cfg.allzero:
+                sig = sig + jnp.sum(r[:, 0] * y2_b)
+
+            acc = dict(
+                Wp=acc["Wp"] + Wp,
+                Wq=acc["Wq"] + Wq,
+                pies=acc["pies"] + jnp.sum(rho, axis=0),
+                sigma=acc["sigma"] + sig,
+                Fsum=acc["Fsum"] + Fsum,
+                nuni=acc["nuni"] + jnp.sum(n_uni * valid_b),
+                nsub=acc["nsub"] + jnp.sum(n_sub * valid_b),
+                resets=tuple(
+                    a + jnp.sum(b) for a, b in zip(acc["resets"], tuple(counts))
+                ),
+            )
+            return acc, (ss2, lpj_full, y_rec)
+
+        acc0 = dict(
+            Wp=jnp.zeros((self.H, self.D), dt),
+            Wq=jnp.zeros((self.H, self.H), dt),
+            pies=jnp.zeros((self.H,), dt),
+            sigma=jnp.zeros((), dt),
+            Fsum=jnp.zeros((), dt),
+            nuni=jnp.zeros((), jnp.int32),
+            nsub=jnp.zeros((), jnp.int32),
+            resets=(jnp.zeros((), jnp.int32),) * 3,
+        )
+        xs = (data.y, data.x_infr, data.x, data.row_valid, estate.ss, keys)
+        acc, (ss_all, lpj_all, yrec_all) = jax.lax.scan(block_fn, acc0, xs)
+
+        new_params = self._m_step_finalize(params, acc, pre, data, cfg)
+        N = pre["N"]
+        stats = StepStats(
+            F=pre["ljc"] + acc["Fsum"] / N,
+            S_nunique=acc["nuni"] / N,
+            S_sub=acc["nsub"] / N,
+            n_reset_nan=acc["resets"][0],
+            n_reset_small=acc["resets"][1],
+            n_reset_inf=acc["resets"][2],
+        )
+        return new_params, EState(ss=ss_all, lpj=lpj_all), stats, yrec_all
+
+    # ---------------------------------------------------------------- M-step
+
+    def _m_step_finalize(self, params: BSCParams, acc, pre, data: Data, cfg: EAConfig):
+        """Closed-form parameter updates from global accumulators
+        (reference bsc.py:225-277).  The reference's lstsq/pinv/noise fallback
+        chain (bsc.py:236-250) becomes an unconditional SVD least-squares
+        solve, which returns the same solution on well-posed systems and the
+        pinv solution on singular ones — deterministic and branch-free."""
+        N, D, H = pre["N"], self.D, self.H
+        new = dict(W=params.W, pi=params.pi, sigma=params.sigma, pies=params.pies)
+
+        if "W" in self.to_learn:
+            W_new_T = jnp.linalg.lstsq(acc["Wq"], acc["Wp"])[0]  # [H, D]
+            new["W"] = W_new_T.T
+
+        if "pi" in self.to_learn:
+            pies_new = acc["pies"] / N
+            if cfg.background:
+                pies_new = pies_new.at[-1].set(1.0 - 1.1e-5)
+            new["pi"] = jnp.sum(pies_new) / H
+            new["pies"] = pies_new
+
+        if "sigma" in self.to_learn:
+            if data.incomplete:
+                dt = params.W.dtype
+                corr = pre["sum_d"] * params.sigma**2
+                new["sigma"] = jnp.sqrt((acc["sigma"] + corr) / N / D)
+            else:
+                new["sigma"] = jnp.sqrt(acc["sigma"] / N / D)
+
+        return BSCParams(W=new["W"], pi=new["pi"], sigma=new["sigma"], pies=new["pies"])
+
+    # ----------------------------------------------------------- free energy
+
+    @partial(jax.jit, static_argnames=("self",))
+    def exact_free_energy(self, params: BSCParams, data: Data):
+        """Exact log-likelihood via full 2^H enumeration (H <= 10), the
+        correctness oracle (reference _models.py:334-451 with full=True;
+        driver guard at examples/bars-test/main.py:124-135)."""
+        params = self.check_params(params)
+        pre = self._precompute(params, data)
+        sm = jnp.asarray(full_state_matrix(self.H))  # [2^H, H]
+        W = params.W
+
+        def block_fn(Fsum, xs):
+            y_b, xinf_b, valid_b = xs
+            G_b, Wty_b, y2_b = self._block_gram(W, y_b, xinf_b, data.incomplete)
+            g_axis = 0 if data.incomplete else None
+            lpj = jax.vmap(
+                lambda G_n, Wty_n, y2_n: self._lpj_one(
+                    sm, G_n, Wty_n, y2_n, pre["pre1"], pre["pil_bar"]
+                ),
+                in_axes=(g_axis, 0, 0),
+            )(G_b, Wty_b, y2_b)
+            lpj, _ = reset_lpj(lpj)
+            from evo_tpu.ops.numerics import shifted_logsumexp
+
+            return Fsum + jnp.sum(shifted_logsumexp(lpj) * valid_b.astype(lpj.dtype)), None
+
+        Fsum, _ = jax.lax.scan(
+            block_fn, jnp.zeros((), params.W.dtype), (data.y, data.x_infr, data.row_valid)
+        )
+        return pre["ljc"] + Fsum / pre["N"]
+
+    @partial(jax.jit, static_argnames=("self",))
+    def free_energy(self, params: BSCParams, estate: EState, data: Data):
+        """Truncated free energy from the stored lpj (reference full=False
+        path, _models.py:397,424-436)."""
+        params = self.check_params(params)
+        pre = self._precompute(params, data)
+        lpj = estate.lpj.reshape(-1, estate.lpj.shape[-1])
+        valid = data.row_valid.reshape(-1)
+        return free_energy_from_lpj(lpj, pre["ljc"], valid)

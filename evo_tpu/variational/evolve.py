@@ -1,0 +1,119 @@
+"""Evolutionary generation of new candidate states (fixed shapes).
+
+Re-design of reference evo/variational/eas.py:153-313 (`evolve_states`): a
+multi-generation loop of parent selection -> mutation -> dedup against all
+previously seen states.  Differences forced by XLA's static-shape model, all
+free-energy-neutral:
+
+  - every generation produces exactly `children_per_gen` children; duplicate
+    children are *masked* (returned lpj = -inf, new_unique = False) instead of
+    dropped, so `vary_Kn` can never swap them in — equivalent to the
+    reference dropping them (eas.py:252-257).
+  - log-pseudo-joints are evaluated for *all* children in one batched call
+    instead of only for new-unique ones; a duplicate's recomputed lpj equals
+    the value the reference recycles from storage (eas.py:271-293), so the
+    selection pool for the next generation sees the same fitness values.
+  - the next generation's parents are selected from this generation's full
+    children array (with true lpjs); the reference selects from the
+    generation's [unique + one-copy-of-each-regenerated] states.  Duplicated
+    children thus carry proportionally more selection weight here; this is a
+    statistical difference of the sampler only (the set of reachable states
+    and the monotone K^(n) improvement are identical).
+
+The whole function is per-datapoint and meant to be vmapped over the batch;
+generations are unrolled (n_generations is small and the g=0 pool has a
+different width than later pools).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.ops.bitpack import pack_states, dup_within, dup_against, n_words
+from evo_tpu.variational.config import EAConfig
+from evo_tpu.variational.mutation import MUTATION_FNS
+from evo_tpu.variational.selection import select_idx
+
+NEG_INF = -jnp.inf
+
+
+def evolve_states(
+    key: jax.Array,
+    ss_n: jnp.ndarray,  # [S, H] bool — current K^(n)
+    lpj_n: jnp.ndarray,  # [S] — their log-pseudo-joints (non-permanent part)
+    lpj_fn: Callable[[jnp.ndarray], jnp.ndarray],  # [C, H] bool -> [C]
+    cfg: EAConfig,
+    sparseness,  # pi*H of the current model (dynamic)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (children [T,H] bool, child_lpj [T] with -inf at duplicates,
+    new_unique [T] bool) where T = cfg.n_new."""
+    S, H = ss_n.shape
+    assert H == cfg.H
+    C = cfg.children_per_gen
+    G = cfg.n_generations
+    T = cfg.n_new
+    W = n_words(H)
+    mutate = MUTATION_FNS[cfg.mutation_algorithm]
+
+    # Seen-set buffer: permanent states + K^(n) + children added so far.
+    cap = cfg.S_perm + S + T
+    seen_keys = jnp.zeros((cap, W), dtype=jnp.uint32)
+    seen_valid = jnp.zeros((cap,), dtype=bool)
+    if cfg.allzero:
+        # all-zero permanent state packs to the zero key
+        seen_valid = seen_valid.at[0].set(True)
+    off = cfg.S_perm
+    seen_keys = jax.lax.dynamic_update_slice(seen_keys, pack_states(ss_n), (off, 0))
+    seen_valid = jax.lax.dynamic_update_slice(seen_valid, jnp.ones((S,), bool), (off,))
+    off += S
+
+    pool_states, pool_lpj = ss_n, lpj_n
+    out_states, out_lpj, out_new = [], [], []
+
+    for g in range(G):
+        kg = jax.random.fold_in(key, g)
+        k_sel, k_mut = jax.random.split(kg)
+
+        n_par = min(pool_states.shape[0], cfg.n_parents)
+        pidx = select_idx(cfg.parent_selection, k_sel, pool_lpj, pool_states.shape[0], n_par)
+        parents = pool_states[pidx]
+
+        # background unit excluded from mutation, then forced back on
+        # (reference eas.py:215-219, 236-239)
+        children_m = mutate(
+            k_mut, parents[:, : cfg.H_mut], cfg.n_children, sparseness, cfg.bitflip_prob
+        )
+        if cfg.background:
+            bg = jnp.ones((children_m.shape[0], 1), dtype=bool)
+            children = jnp.concatenate([children_m, bg], axis=1)
+        else:
+            children = children_m
+        assert children.shape == (C, H)
+
+        ckeys = pack_states(children)
+        is_dup = dup_against(ckeys, seen_keys, seen_valid) | dup_within(ckeys)
+        new_unique = ~is_dup
+
+        child_lpj = lpj_fn(children)
+
+        # register the new uniques in the seen set
+        seen_keys = jax.lax.dynamic_update_slice(seen_keys, ckeys, (off, 0))
+        seen_valid = jax.lax.dynamic_update_slice(seen_valid, new_unique, (off,))
+        off += C
+
+        out_states.append(children)
+        out_lpj.append(jnp.where(new_unique, child_lpj, NEG_INF))
+        out_new.append(new_unique)
+
+        # next generation selects among this generation's children
+        # (reference eas.py:226-230)
+        pool_states, pool_lpj = children, child_lpj
+
+    children = jnp.concatenate(out_states, axis=0)
+    child_lpj = jnp.concatenate(out_lpj, axis=0)
+    new_unique = jnp.concatenate(out_new, axis=0)
+    assert children.shape == (T, H)
+    return children, child_lpj, new_unique

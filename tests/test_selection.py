@@ -1,0 +1,34 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.variational.selection import fitparents_idx, randparents_idx
+
+
+def test_fitparents_no_replacement():
+    lpj = jnp.asarray(np.random.default_rng(0).normal(size=12).astype(np.float32))
+    for i in range(20):
+        idx = np.asarray(fitparents_idx(jax.random.key(i), lpj, 5))
+        assert len(set(idx.tolist())) == 5
+
+
+def test_fitparents_proportional_to_fitness():
+    # two candidates dominate: fitness = lpj - 2*min(min,0)
+    lpj = jnp.asarray(np.array([-1.0, -1.0, -100.0, -100.0], np.float32))
+    # fitness = lpj + 200 -> [199, 199, 100, 100]; P(first pick in {0,1}) ~ 0.665
+    wins = 0
+    trials = 300
+    for i in range(trials):
+        idx = np.asarray(fitparents_idx(jax.random.key(i), lpj, 1))
+        wins += int(idx[0] in (0, 1))
+    frac = wins / trials
+    assert 0.55 < frac < 0.78
+
+
+def test_randparents_uniform_no_replacement():
+    counts = np.zeros(6)
+    for i in range(300):
+        idx = np.asarray(randparents_idx(jax.random.key(i), 6, 3))
+        assert len(set(idx.tolist())) == 3
+        counts[idx] += 1
+    assert counts.min() > 100  # each expected 150
