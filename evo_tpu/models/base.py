@@ -117,6 +117,31 @@ def unblockify(tree):
     return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), tree)
 
 
+def block_gram(W, y_b, xinf_b, incomplete: bool):
+    """Per-block lpj precomputation shared by all linear-Gaussian models:
+    returns (G, Wty, y2) with
+
+        complete:   G = W^T W               shared [H, H]
+        incomplete: G_n = W^T diag(m_n) W   per datapoint [B, H, H]
+        Wty_n = W^T (m_n .* y_n)  [B, H],   y2_n = ||m_n .* y_n||^2  [B]
+
+    This one-time O(B H^2 D) MXU contraction makes every subsequent state
+    evaluation O(H^2), independent of D — the TPU replacement for the
+    reference's per-state GEMVs (bsc.py:91-95) and per-state D-dimensional
+    solves (sssc.py:276-318)."""
+    dt = W.dtype
+    if incomplete:
+        m = xinf_b.astype(dt)
+        G = jnp.einsum("bd,dh,dk->bhk", m, W, W)
+        Wty = jnp.einsum("bd,dh->bh", y_b * m, W)
+        y2 = jnp.sum(m * y_b * y_b, axis=-1)
+    else:
+        G = W.T @ W
+        Wty = y_b @ W
+        y2 = jnp.sum(y_b * y_b, axis=-1)
+    return G, Wty, y2
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StepStats:

