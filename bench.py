@@ -1,0 +1,122 @@
+"""North-star benchmark: BSC EM epoch at N~100k, H=256, S=64 (BASELINE.json).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is the speedup over the reference implementation (NumPy/mpi4py,
+single rank) measured on this machine by tools/measure_reference_baseline.py
+and recorded in BASELINE_MEASURED.json (linear-in-N extrapolation of the
+reference's per-datapoint Python loop to the same N).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_BLOCKS = 25
+B = 4096
+N = N_BLOCKS * B  # 102400
+H = 256
+S = 64
+D = 256
+N_PARENTS, N_CHILDREN, N_GENERATIONS = 10, 1, 1
+EPOCHS = 5
+
+# reference baseline (s/epoch at N_target) measured by
+# tools/measure_reference_baseline.py on this machine's CPU
+_DEFAULT_BASELINE_S = 264.75
+
+
+def load_baseline():
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            d = json.load(f)
+        ref_n = d["config"]["N_target"]
+        s = d["reference_epoch_s_at_N_target_extrapolated"]
+        return s * (N / ref_n)
+    return _DEFAULT_BASELINE_S
+
+
+def main():
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.models.bsc import BSC
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    # The first device->host readback in a process can stall for minutes when
+    # the TPU is reached through a tunnel; warm that channel in the
+    # background while the host builds the dataset.
+    def _warm():
+        t = time.time()
+        float(jnp.zeros(())[()])
+        print(f"d2h channel warm: {time.time()-t:.1f}s", file=sys.stderr)
+
+    warm = threading.Thread(target=_warm, daemon=True)
+    warm.start()
+
+    t0 = time.time()
+    model = BSC(D=D, H=H)
+    rng = np.random.default_rng(0)
+    W_gen = rng.standard_normal((D, H)).astype(np.float32)
+    # host-side data generation (avoids a 100MB device->host readback)
+    s_gen = rng.random((N, H)) <= 2.0 / H
+    Y = (s_gen.astype(np.float32) @ W_gen.T
+         + rng.standard_normal((N, D)).astype(np.float32))
+    data = make_data(Y, n_blocks=N_BLOCKS)
+    cfg, estate = init_states(
+        N=N, S=S, H=H, no_parents=N_PARENTS, no_children=N_CHILDREN,
+        no_generations=N_GENERATIONS, n_blocks=N_BLOCKS, seed=0,
+    )
+    params = model.standard_init(data, seed=0, y_host=Y)
+    print(f"setup: {time.time()-t0:.1f}s", file=sys.stderr)
+    warm.join()
+
+    # warmup (compile)
+    t0 = time.time()
+    params, estate, stats, _ = model.em_step(
+        params, estate, data, jax.random.key(1), cfg
+    )
+    jax.block_until_ready(estate.lpj)
+    print(f"warmup epoch (incl. compile): {time.time()-t0:.1f}s, "
+          f"F={float(stats.F):.2f}", file=sys.stderr)
+
+    times = []
+    for e in range(EPOCHS):
+        t0 = time.time()
+        params, estate, stats, _ = model.em_step(
+            params, estate, data, jax.random.fold_in(jax.random.key(2), e), cfg
+        )
+        jax.block_until_ready(estate.lpj)
+        times.append(time.time() - t0)
+        print(f"epoch {e}: {times[-1]*1000:.1f} ms  F={float(stats.F):.2f}",
+              file=sys.stderr)
+
+    epoch_s = float(np.median(times))
+    lpj_evals = N * (S + N_PARENTS * N_CHILDREN * N_GENERATIONS)
+    baseline_s = load_baseline()
+    result = {
+        "metric": "bsc_em_epoch_time_N102k_H256_S64",
+        "value": epoch_s,
+        "unit": "s",
+        "vs_baseline": baseline_s / epoch_s,
+        "lpj_evals_per_s": lpj_evals / epoch_s,
+        "baseline_s": baseline_s,
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

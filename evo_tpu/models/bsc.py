@@ -70,11 +70,19 @@ class BSC:
     # ------------------------------------------------------------------ init
 
     def standard_init(self, data: Data, seed: int = 0, W_init=None, pi_init=None,
-                      sigma_init=None) -> BSCParams:
+                      sigma_init=None, y_host=None) -> BSCParams:
         """Noisy-data-mean init (reference _models.py:206-283).  The
         reference broadcasts rank-0 random draws; here determinism across
-        hosts comes from the shared seed."""
-        y = np.asarray(data.y).reshape(-1, self.D)
+        hosts comes from the shared seed.  Pass y_host (the flat [N, D] host
+        copy of the data, pre-padding) to avoid a device->host readback."""
+        if y_host is not None:
+            y = np.asarray(y_host).reshape(-1, self.D)
+            pad = data.y.shape[0] * data.y.shape[1] - y.shape[0]
+            if pad:
+                y = np.concatenate([y, np.zeros((pad, self.D), y.dtype)], axis=0)
+            y = np.where(np.isnan(y), 0.0, y)
+        else:
+            y = np.asarray(data.y).reshape(-1, self.D)
         m = np.asarray(data.x_infr).reshape(-1, self.D)
         valid = np.asarray(data.row_valid).reshape(-1)
         y, m = y[valid], m[valid]

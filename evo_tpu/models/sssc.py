@@ -76,10 +76,19 @@ class SSSC:
     # ------------------------------------------------------------------ init
 
     def standard_init(self, data: Data, seed: int = 0, W_init=None,
-                      sigma_init=None) -> SSSCParams:
+                      sigma_init=None, y_host=None) -> SSSCParams:
         """Random-uniform pies, standard-normal mus, identity Psi, data-mean
-        noisy W, data-variance sigma2 (reference sssc.py:104-197)."""
-        y = np.asarray(data.y).reshape(-1, self.D)
+        noisy W, data-variance sigma2 (reference sssc.py:104-197).  Pass
+        y_host ([N, D] host copy, pre-padding) to avoid a device->host
+        readback."""
+        if y_host is not None:
+            y = np.asarray(y_host).reshape(-1, self.D)
+            pad = data.y.shape[0] * data.y.shape[1] - y.shape[0]
+            if pad:
+                y = np.concatenate([y, np.zeros((pad, self.D), y.dtype)], axis=0)
+            y = np.where(np.isnan(y), 0.0, y)
+        else:
+            y = np.asarray(data.y).reshape(-1, self.D)
         m = np.asarray(data.x_infr).reshape(-1, self.D)
         valid = np.asarray(data.row_valid).reshape(-1)
         y, m = y[valid], m[valid]

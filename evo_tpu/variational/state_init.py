@@ -52,15 +52,14 @@ def full_state_matrix(H: int) -> np.ndarray:
 
 
 def _pack_rows(ss: np.ndarray) -> np.ndarray:
-    """[..., H] bool -> [..., W] uint64 keys (host-side)."""
+    """[..., H] bool -> [..., W] uint64 keys (host-side, via packbits)."""
     H = ss.shape[-1]
     W = -(-H // 64)
     pad = W * 64 - H
     if pad:
         ss = np.concatenate([ss, np.zeros(ss.shape[:-1] + (pad,), bool)], axis=-1)
-    bits = ss.reshape(ss.shape[:-1] + (W, 64)).astype(np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    return (bits * weights).sum(axis=-1, dtype=np.uint64)
+    packed = np.packbits(ss, axis=-1)  # [..., W*8] uint8
+    return np.ascontiguousarray(packed).view(np.uint64).reshape(ss.shape[:-1] + (W,))
 
 
 def _mark_duplicate_rows(keys: np.ndarray) -> np.ndarray:
@@ -89,25 +88,32 @@ def draw_initial_states(
     exclude_allzero: bool,
     background: bool,
     max_rounds: int = 1000,
+    chunk: int = 8192,
 ) -> np.ndarray:
     """Draw unique-per-datapoint Bernoulli states, vectorized redraw loop
-    (replaces the per-n rejection loop of reference utils.py:100-138)."""
+    (replaces the per-n rejection loop of reference utils.py:100-138).
+    Processed in row chunks to bound host memory at large N."""
     H_ = H - 1 if background else H
     assert S + (1 if exclude_allzero else 0) <= 2 ** H_, "S too large for 2^H"
-    ss = rng.random((N, S, H_)) < p_init_Kn
-    for _ in range(max_rounds):
-        bad = _mark_duplicate_rows(_pack_rows(ss))
-        if exclude_allzero:
-            bad |= ~ss.any(axis=2)
-        n_bad = int(bad.sum())
-        if n_bad == 0:
-            break
-        ss[bad] = rng.random((n_bad, H_)) < p_init_Kn
-    else:
-        raise RuntimeError("could not draw unique initial states")
+    out = np.empty((N, S, H_ + (1 if background else 0)), dtype=bool)
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        n = hi - lo
+        ss = rng.random((n, S, H_), dtype=np.float32) < p_init_Kn
+        for _ in range(max_rounds):
+            bad = _mark_duplicate_rows(_pack_rows(ss))
+            if exclude_allzero:
+                bad |= ~ss.any(axis=2)
+            n_bad = int(bad.sum())
+            if n_bad == 0:
+                break
+            ss[bad] = rng.random((n_bad, H_), dtype=np.float32) < p_init_Kn
+        else:
+            raise RuntimeError("could not draw unique initial states")
+        out[lo:hi, :, :H_] = ss
     if background:
-        ss = np.concatenate([ss, np.ones((N, S, 1), bool)], axis=2)
-    return ss
+        out[:, :, -1] = True
+    return out
 
 
 def init_states(
@@ -176,5 +182,17 @@ def init_states(
     B = N // n_blocks
     lpj = jnp.zeros((n_blocks, B, cfg.S_perm + cfg.S), dtype=dtype)
     ss = np.ascontiguousarray(ss.reshape(n_blocks, B, ss.shape[1], ss.shape[2]))
-    estate = EState(ss=jnp.asarray(ss), lpj=lpj)
+    # ship packed bits (8x less host->device traffic; the device link may be
+    # a tunnel) and unpack on device
+    H_out = ss.shape[-1]
+    packed = np.packbits(ss, axis=-1, bitorder="little")
+    ss_dev = jax.jit(_unpack_bits, static_argnames="H")(jnp.asarray(packed), H=H_out)
+    estate = EState(ss=ss_dev, lpj=lpj)
     return cfg, estate
+
+
+def _unpack_bits(packed: jnp.ndarray, H: int) -> jnp.ndarray:
+    """uint8 [..., ceil(H/8)] (little bitorder) -> bool [..., H]."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :H].astype(bool)
