@@ -1,0 +1,187 @@
+"""Tests for prepost (patches/PSNR/viz), autotable/datalog, tracing and
+checkpointing."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from evo_tpu.prepost import (
+    OverlappingPatches,
+    MultiDimOverlappingPatches,
+    mean_merger,
+    median_merger,
+    extract_random_patches,
+    psnr,
+    make_grid,
+)
+from evo_tpu.utils.autotable import AutoTable
+from evo_tpu.utils.datalog import DataLog, StoreToH5, StoreToTxt, TextPrinter
+from evo_tpu.utils import tracing
+from evo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+# ------------------------------------------------------------------ patches
+
+
+def test_patch_extract_merge_roundtrip(rng):
+    img = rng.random((17, 13))
+    ovp = OverlappingPatches(img, 4, 3, patch_shift=1)
+    Y = ovp.get()
+    assert Y.shape == (12, 14 * 11)
+    for merger in (mean_merger, median_merger):
+        rec = ovp.set_and_merge(Y, merge_method=merger)
+        np.testing.assert_allclose(rec, img, rtol=1e-10)
+
+
+def test_patch_merge_averages_modifications(rng):
+    img = np.zeros((8, 8))
+    ovp = OverlappingPatches(img, 3, 3)
+    Y = ovp.get() + 5.0
+    rec = ovp.set_and_merge(Y, merge_method=mean_merger)
+    np.testing.assert_allclose(rec, 5.0)
+
+
+def test_patch_extract_matches_manual(rng):
+    img = rng.random((6, 5))
+    ovp = OverlappingPatches(img, 2, 2)
+    Y = ovp.get()
+    # first patch = img[0:2, 0:2] flattened row-major
+    np.testing.assert_allclose(Y[:, 0], img[0:2, 0:2].reshape(-1))
+    # patch grid is row-major over positions
+    np.testing.assert_allclose(Y[:, 1], img[0:2, 1:3].reshape(-1))
+
+
+def test_multidim_patches_roundtrip(rng):
+    img = rng.random((10, 9, 3))
+    ovp = MultiDimOverlappingPatches(img, 3, 3)
+    Y = ovp.get()
+    assert Y.shape == (27, 8 * 7)
+    rec = ovp.set_and_merge(Y, merge_method=mean_merger)
+    np.testing.assert_allclose(rec, img, rtol=1e-10)
+
+
+def test_extract_random_patches(rng):
+    imgs = rng.random((4, 12, 12))
+    P = extract_random_patches(imgs, 5, 5, 64, rng=rng)
+    assert P.shape == (64, 25)
+    # every patch must actually occur in some image
+    assert np.isfinite(P).all()
+
+
+def test_psnr():
+    clean = np.full((8, 8), 100.0)
+    assert psnr(clean, clean + 10.0, data_range=255) == pytest.approx(
+        10 * np.log10(255**2 / 100.0)
+    )
+    noisy = clean + 3.0
+    noisy[0, 0] = np.nan  # NaNs ignored
+    got = psnr(clean, noisy)
+    assert got == pytest.approx(10 * np.log10(255**2 / 9.0))
+
+
+def test_make_grid_shape(rng):
+    g = make_grid(rng.random((10, 4, 4)), ncol=4, pad=1)
+    assert g.shape == (3 * 5 + 1, 4 * 5 + 1)
+
+
+# ------------------------------------------------------- autotable / datalog
+
+
+def test_autotable_append_and_assign(tmp_path):
+    f = str(tmp_path / "t.h5")
+    tbl = AutoTable(f)
+    tbl.append("F", 1.5)
+    tbl.append("F", 2.5)
+    tbl.append("W", np.ones((3, 2)))
+    tbl.assign("latest", np.arange(4))
+    tbl.assign("latest", np.arange(4) + 1)
+    tbl.close()
+
+    import h5py
+
+    with h5py.File(f) as h5:
+        np.testing.assert_allclose(h5["F"][:], [1.5, 2.5])
+        assert h5["W"].shape == (1, 3, 2)
+        np.testing.assert_allclose(h5["latest"][:], [[1, 2, 3, 4]])
+
+
+def test_datalog_routing_and_wildcard(tmp_path):
+    f = str(tmp_path / "log.h5")
+    txt = str(tmp_path / "log.txt")
+    dlog = DataLog()
+    dlog.set_handler(["*"], StoreToH5, f)
+    dlog.set_handler(["F"], StoreToTxt, txt)
+    dlog.set_handler(["F"], TextPrinter)
+    assert not dlog.ignored("F")
+    assert not dlog.ignored("anything")  # wildcard catches it
+    dlog.append("F", -12.0)
+    dlog.append_all({"F": -11.0, "pi": 0.1})
+    dlog.close()
+
+    import h5py
+
+    with h5py.File(f) as h5:
+        np.testing.assert_allclose(h5["F"][:], [-12.0, -11.0])
+        np.testing.assert_allclose(h5["pi"][:], [0.1])
+    assert "F = -12.0" in open(txt).read()
+
+
+def test_datalog_ignored_without_handlers():
+    dlog = DataLog()
+    assert dlog.ignored("F")
+
+
+# ---------------------------------------------------------------- tracing
+
+
+def test_tracing_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    tracing.set_tracefile("trace-%04d.txt")
+
+    @tracing.traced
+    def work():
+        tracing.tracepoint("inside")
+        return 42
+
+    assert work() == 42
+    tracing.close("traces.tgz")
+    assert os.path.exists("traces.tgz")
+    import tarfile
+
+    with tarfile.open("traces.tgz") as tar:
+        content = tar.extractfile(tar.getmembers()[0]).read().decode()
+    assert "work:begin" in content and "inside" in content and "work:end" in content
+
+
+# ------------------------------------------------------------- checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from evo_tpu.models.bsc import BSC
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states
+
+    N, H, D = 32, 6, 9
+    model = BSC(D=D, H=H)
+    Y = np.random.default_rng(0).normal(size=(N, D))
+    data = make_data(Y)
+    cfg, estate = init_states(N=N, S=8, H=H, no_parents=4)
+    params = model.standard_init(data, seed=0)
+    params, estate, stats, _ = model.em_step(params, estate, data, jax.random.key(0), cfg)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, estate, epoch=7, key=jax.random.key(3))
+    params2, estate2, epoch, key = load_checkpoint(path, params_like=params)
+
+    assert epoch == 7
+    np.testing.assert_array_equal(np.asarray(params.W), np.asarray(params2.W))
+    np.testing.assert_array_equal(np.asarray(estate.ss), np.asarray(estate2.ss))
+    np.testing.assert_array_equal(np.asarray(estate.lpj), np.asarray(estate2.lpj))
+
+    # resumed training must continue exactly like uninterrupted training
+    p_a, e_a, s_a, _ = model.em_step(params, estate, data, key, cfg)
+    p_b, e_b, s_b, _ = model.em_step(params2, estate2, data, key, cfg)
+    np.testing.assert_allclose(float(s_a.F), float(s_b.F), rtol=0)
+    np.testing.assert_array_equal(np.asarray(e_a.ss), np.asarray(e_b.ss))
