@@ -1,0 +1,154 @@
+"""Shared experiment scaffolding for the example drivers.
+
+Mirrors the conventions of the reference example apps (SURVEY §2.1 #13-16):
+timestamped output directory, training.h5 via DataLog/StoreToH5, stdout tee
+to terminal.txt, argparse parent-parser groups with the same flag names and
+defaults (reference examples/*/params.py)."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+import numpy as np
+
+from evo_tpu.utils.datalog import DataLog, StoreToH5, TextPrinter
+
+
+def apply_platform_env():
+    """Honor EVO_PLATFORM=cpu|tpu|axon: the axon TPU plugin ignores the
+    JAX_PLATFORMS env var, so jax.config.update is the only reliable switch
+    (useful to run examples on CPU while a TPU is attached)."""
+    plat = os.environ.get("EVO_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def merge_dict(*dicts):
+    merged = {}
+    for d in dicts:
+        merged.update(d)
+    return merged
+
+
+class stdout_logger:
+    """Tee stdout to terminal.txt (reference bars-test/utils.py:56-78)."""
+
+    def __init__(self, txt_file):
+        self.terminal = sys.stdout
+        self.log = open(txt_file, "w")
+
+    def write(self, message):
+        self.terminal.write(message)
+        self.terminal.flush()
+        self.log.write(message)
+        self.log.flush()
+
+    def flush(self):
+        pass
+
+
+def output_parser():
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument(
+        "--output_directory", type=str, default=None,
+        help="Directory to write training output and visualizations to "
+             "(output/<TIMESTAMP> if not specified)",
+    )
+    return p
+
+
+def variational_parser(Ksize=20, no_parents=10, no_children=1, no_generations=1):
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--Ksize", type=int, default=Ksize,
+                   help="Size of the K sets (i.e., S=|K|)")
+    p.add_argument("--parent_selection", type=str, choices=["fit", "rand"],
+                   default="fit", help="Selection operator")
+    p.add_argument("--mutation_algorithm", type=str,
+                   choices=["randflip", "sparseflip", "cross", "cross_randflip",
+                            "cross_sparseflip"],
+                   default="randflip", help="Mutation strategy")
+    p.add_argument("--no_parents", type=int, default=no_parents,
+                   help="Number of parental states to select per generation")
+    p.add_argument("--no_children", type=int, default=no_children,
+                   help="Number of children to evolve per parent")
+    p.add_argument("--no_generations", type=int, default=no_generations,
+                   help="Number of generations to evolve")
+    p.add_argument("--bitflip_prob", type=float, default=None,
+                   help="Bitflip probability (sparseflip-based mutations)")
+    return p
+
+
+def experiment_parser(no_epochs=40):
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--no_epochs", type=int, default=no_epochs,
+                   help="Number of epochs to train")
+    p.add_argument("--seed", type=int, default=0,
+                   help="Seed for data generation / parameter init / EA")
+    p.add_argument("--n_blocks", type=int, default=1,
+                   help="Number of scan blocks inside the jitted epoch "
+                        "(bounds device memory at large N)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="Save a resumable checkpoint every X epochs (0=off)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="Path to a checkpoint.npz to resume from")
+    return p
+
+
+def viz_parser():
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--viz_every", type=int, default=1,
+                   help="Create visualizations every X'th epoch")
+    p.add_argument("--gif_framerate", type=str, default=None,
+                   help="Frames per second for gif animation (e.g. 2/1); "
+                        "no gif if unspecified")
+    return p
+
+
+def setup_experiment(args, name: str):
+    """Create the output dir, the DataLog with H5 + console handlers, and the
+    stdout tee; returns (dlog, output_directory)."""
+    timestamp = datetime.datetime.fromtimestamp(time.time()).strftime(
+        "%y-%m-%d_%H-%M-%S"
+    )
+    outdir = args.output_directory or f"./output/{timestamp}"
+    os.makedirs(outdir, exist_ok=True)
+    training_file = os.path.join(outdir, "training.h5")
+    dlog = DataLog()
+    dlog.set_handler(["*"], StoreToH5, training_file)
+    txt_file = os.path.join(outdir, "terminal.txt")
+    sys.stdout = stdout_logger(txt_file)
+    print(f"Will write training output to {training_file}")
+    print(f"Will write terminal output to {txt_file}")
+    print("Hyperparameters used:")
+    for k in sorted(vars(args), key=lambda s: s.lower()):
+        print("{: <25} : {}".format(k, vars(args)[k]))
+    return dlog, outdir
+
+
+def params_to_dict(params) -> dict:
+    """Model params dataclass -> {name: np.ndarray} for logging."""
+    import dataclasses
+
+    return {f.name: np.asarray(getattr(params, f.name))
+            for f in dataclasses.fields(params)}
+
+
+def warm_d2h_async():
+    """Start warming the device->host channel in the background (the first
+    readback through a tunneled TPU can stall for minutes)."""
+    import threading
+
+    def _warm():
+        import jax.numpy as jnp
+
+        float(jnp.zeros(())[()])
+
+    t = threading.Thread(target=_warm, daemon=True)
+    t.start()
+    return t

@@ -1,0 +1,65 @@
+"""AWGN image denoising: `python main.py {ebsc|es3c} [--flags]`
+(same CLI surface as the reference examples/image-denoising)."""
+
+import argparse
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+
+from evo_tpu.apps.common import output_parser, variational_parser, viz_parser
+from evo_tpu.apps.images import run_denoising
+
+
+def awgn_parser():
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--clean_image", type=str, default="./img/house.png",
+                   help="Full path to clean image (synthetic fallback if missing)")
+    p.add_argument("--rescale", type=float, default=0.4,
+                   help="Rescale factor for the clean image")
+    p.add_argument("--noise_level", type=float, default=25,
+                   help="Std of the additive white Gaussian noise")
+    return p
+
+
+def patch_parser():
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--patch_height", type=int, default=5, help="Patch height")
+    p.add_argument("--patch_width", type=int, default=None,
+                   help="Patch width (defaults to patch_height)")
+    return p
+
+
+def experiment_parser():
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("-H", type=int, default=32, help="Dictionary size")
+    p.add_argument("--no_epochs", type=int, default=50)
+    p.add_argument("--merge_every", type=int, default=None,
+                   help="Merge reconstructed patches every Xth epoch "
+                        "(defaults to viz_every)")
+    p.add_argument("--save_theta_all_epochs", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_blocks", type=int, default=1)
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    return p
+
+
+def get_args():
+    parser = argparse.ArgumentParser(prog="Image Denoising")
+    algos = parser.add_subparsers(help="Select algorithm to run", dest="algo")
+    common = [awgn_parser(), patch_parser(), variational_parser(Ksize=20),
+              experiment_parser(), output_parser(), viz_parser()]
+    for algo in ("ebsc", "es3c"):
+        algos.add_parser(algo, parents=common,
+                         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    args = parser.parse_args()
+    if args.algo is None:
+        parser.error("choose an algorithm: ebsc or es3c")
+    return args
+
+
+if __name__ == "__main__":
+    run_denoising(get_args())

@@ -1,0 +1,109 @@
+"""Integration tests for the example application drivers (the reference's
+oracle-style experiments as real tests, SURVEY §4)."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+
+def _ns(**kw):
+    return argparse.Namespace(**kw)
+
+
+def _common(**over):
+    base = dict(
+        output_directory=None, Ksize=10, parent_selection="fit",
+        mutation_algorithm="randflip", no_parents=5, no_children=1,
+        no_generations=1, bitflip_prob=None, no_epochs=4, seed=0, n_blocks=1,
+        checkpoint_every=0, resume=None, viz_every=100, gif_framerate=None,
+    )
+    base.update(over)
+    return base
+
+
+def test_bars_app_ebsc(tmp_path):
+    from evo_tpu.apps import bars
+
+    args = _ns(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
+               no_data_points=150, pi_gen=None, sigma_gen=1.0,
+               **_common(output_directory=str(tmp_path / "out")))
+    out = bars.run(args)
+    assert np.isfinite(out["F"])
+    assert out["L_gen"] is not None
+    assert os.path.exists(os.path.join(out["outdir"], "training.h5"))
+
+
+def test_bars_app_es3c(tmp_path):
+    from evo_tpu.apps import bars
+
+    args = _ns(algo="es3c", H=6, bar_amp=8.0, neg_bars=False,
+               no_data_points=120, pi_gen=None, sigma_gen=1.0, mu_gen=1.0,
+               psi_gen=0.5, **_common(output_directory=str(tmp_path / "out")))
+    out = bars.run(args)
+    assert np.isfinite(out["F"])
+
+
+def test_denoising_app_improves_psnr(tmp_path):
+    from evo_tpu.apps.images import run_denoising, synthetic_image
+    from evo_tpu.prepost import psnr
+
+    args = _ns(algo="ebsc", clean_image=str(tmp_path / "nonexistent.png"),
+               rescale=0.25, noise_level=25.0, patch_height=5, patch_width=None,
+               H=16, merge_every=4, save_theta_all_epochs=False,
+               **_common(no_epochs=8, Ksize=12, no_parents=6,
+                         output_directory=str(tmp_path / "out")))
+    out = run_denoising(args)
+    clean = synthetic_image(int(256 * 0.25))
+    rng = np.random.default_rng(0)
+    noisy = clean + rng.normal(scale=25.0, size=clean.shape)
+    psnr_noisy = psnr(clean, noisy, 255.0)
+    assert out["psnr"] is not None
+    # denoised must beat the noisy input
+    assert out["psnr"] > psnr_noisy + 1.0, (out["psnr"], psnr_noisy)
+
+
+def test_inpainting_app_fills_missing(tmp_path):
+    from evo_tpu.apps.images import run_inpainting
+
+    args = _ns(algo="es3c", clean_image=str(tmp_path / "nonexistent.png"),
+               rescale=0.25, percentage_missing=0.15, patch_height=5,
+               patch_width=None, H=16, merge_every=2,
+               save_theta_all_epochs=False,
+               **_common(no_epochs=4, Ksize=12, no_parents=6,
+                         output_directory=str(tmp_path / "out")))
+    out = run_inpainting(args)
+    assert out["psnr"] is not None and np.isfinite(out["psnr"])
+    assert np.isfinite(out["rec"]).all()
+
+
+def test_feature_learning_app(tmp_path):
+    from evo_tpu.apps import feature_learning
+
+    args = _ns(data_file=str(tmp_path / "patches.npz"), model="bsc", H=16,
+               sort_gfs=True,
+               **_common(no_epochs=3, Ksize=10, no_parents=5,
+                         output_directory=str(tmp_path / "out")))
+    feature_learning.synthetic_patchfile(str(tmp_path / "patches.npz"),
+                                         N=300, ph=6, pw=6)
+    out = feature_learning.run(args)
+    assert np.isfinite(out["F"])
+
+
+def test_bars_app_checkpoint_resume(tmp_path):
+    from evo_tpu.apps import bars
+
+    common = dict(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
+                  no_data_points=100, pi_gen=None, sigma_gen=1.0)
+    out1 = bars.run(_ns(**common, **_common(
+        no_epochs=4, checkpoint_every=2,
+        output_directory=str(tmp_path / "a"))))
+    ckpt = os.path.join(out1["outdir"], "checkpoint.npz")
+    assert os.path.exists(ckpt)
+    out2 = bars.run(_ns(**common, **_common(
+        no_epochs=6, resume=ckpt, output_directory=str(tmp_path / "b"))))
+    # uninterrupted 6-epoch run must match resumed run exactly
+    out3 = bars.run(_ns(**common, **_common(
+        no_epochs=6, output_directory=str(tmp_path / "c"))))
+    np.testing.assert_allclose(out2["F"], out3["F"], rtol=1e-6)
