@@ -14,6 +14,7 @@ handful of cheap VPU integer ops and vectorizes perfectly over N.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 WORD_BITS = 32
@@ -40,9 +41,45 @@ def pack_states(ss: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
 
+def hash_words(keys: jnp.ndarray) -> jnp.ndarray:
+    """Mix packed words [..., W] uint32 into 2 uint32 hash words [..., 2].
+
+    Used to cut duplicate-detection cost for large H (compare 2 words
+    instead of ceil(H/32)).  64 bits of hash make a false duplicate —
+    which only suppresses one candidate state for one datapoint-epoch —
+    astronomically unlikely (~1e-12 per epoch at the N=100k benchmark
+    scale); callers keep exact keys when W <= 2 (see dedup_keys)."""
+    W = keys.shape[-1]
+    h1 = jnp.full(keys.shape[:-1], 0x811C9DC5, jnp.uint32)
+    h2 = jnp.full(keys.shape[:-1], 0x9E3779B9, jnp.uint32)
+    for w in range(W):
+        x = keys[..., w]
+        h1 = (h1 ^ x) * jnp.uint32(0x01000193)  # FNV-1a step
+        h2 = (h2 + x) * jnp.uint32(0x85EBCA6B)  # murmur-style mix
+        h2 = h2 ^ (h2 >> 13)
+    return jnp.stack([h1, h2], axis=-1)
+
+
+def dedup_keys(ss: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    """Duplicate-detection keys for states [..., H]: the exact packed words
+    when they already fit in 2 (H <= 64) or exact=True, else a 64-bit hash."""
+    keys = pack_states(ss)
+    if exact or keys.shape[-1] <= 2:
+        return keys
+    return hash_words(keys)
+
+
 def eq_matrix(keys_a: jnp.ndarray, keys_b: jnp.ndarray) -> jnp.ndarray:
-    """All-pairs equality of packed keys: [A, W] x [B, W] -> bool [A, B]."""
-    return jnp.all(keys_a[:, None, :] == keys_b[None, :, :], axis=-1)
+    """All-pairs equality of packed keys: [A, W] x [B, W] -> bool [A, B].
+
+    The word dimension is unrolled in Python so every compare is a plain
+    [A, B] tensor — a [A, B, W] layout with tiny W wastes most of the VPU's
+    128 lanes in padding."""
+    W = keys_a.shape[-1]
+    eq = keys_a[:, None, 0] == keys_b[None, :, 0]
+    for w in range(1, W):
+        eq &= keys_a[:, None, w] == keys_b[None, :, w]
+    return eq
 
 
 def dup_within(keys: jnp.ndarray) -> jnp.ndarray:
@@ -64,3 +101,15 @@ def dup_against(keys: jnp.ndarray, seen_keys: jnp.ndarray, seen_valid: jnp.ndarr
     """
     eq = eq_matrix(keys, seen_keys)
     return jnp.any(eq & seen_valid[None, :], axis=1)
+
+
+def take_rows(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of a boolean matrix [K, H] by indices [M] via a one-hot
+    matmul.  Vmapped dynamic row-gathers lower to very slow code on TPU;
+    the equivalent one-hot contraction runs on the MXU (values are exact:
+    0/1 in bf16 with f32 accumulation)."""
+    K = mat.shape[0]
+    oh = jax.nn.one_hot(idx, K, dtype=jnp.bfloat16)  # [M, K]
+    out = jnp.dot(oh, mat.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return out > 0.5

@@ -32,7 +32,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from evo_tpu.ops.bitpack import pack_states, dup_within, dup_against, n_words
+from evo_tpu.ops.bitpack import dedup_keys, dup_within, dup_against, n_words, take_rows
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.mutation import MUTATION_FNS
 from evo_tpu.variational.selection import select_idx
@@ -55,7 +55,7 @@ def evolve_states(
     C = cfg.children_per_gen
     G = cfg.n_generations
     T = cfg.n_new
-    W = n_words(H)
+    W = min(n_words(H), 2)  # dedup keys: exact words for H <= 64, else hashed
     mutate = MUTATION_FNS[cfg.mutation_algorithm]
 
     # Seen-set buffer: permanent states + K^(n) + children added so far.
@@ -63,10 +63,11 @@ def evolve_states(
     seen_keys = jnp.zeros((cap, W), dtype=jnp.uint32)
     seen_valid = jnp.zeros((cap,), dtype=bool)
     if cfg.allzero:
-        # all-zero permanent state packs to the zero key
+        zero_key = dedup_keys(jnp.zeros((1, H), dtype=bool))
+        seen_keys = seen_keys.at[0:1].set(zero_key)
         seen_valid = seen_valid.at[0].set(True)
     off = cfg.S_perm
-    seen_keys = jax.lax.dynamic_update_slice(seen_keys, pack_states(ss_n), (off, 0))
+    seen_keys = jax.lax.dynamic_update_slice(seen_keys, dedup_keys(ss_n), (off, 0))
     seen_valid = jax.lax.dynamic_update_slice(seen_valid, jnp.ones((S,), bool), (off,))
     off += S
 
@@ -79,7 +80,7 @@ def evolve_states(
 
         n_par = min(pool_states.shape[0], cfg.n_parents)
         pidx = select_idx(cfg.parent_selection, k_sel, pool_lpj, pool_states.shape[0], n_par)
-        parents = pool_states[pidx]
+        parents = take_rows(pool_states, pidx)
 
         # background unit excluded from mutation, then forced back on
         # (reference eas.py:215-219, 236-239)
@@ -93,7 +94,7 @@ def evolve_states(
             children = children_m
         assert children.shape == (C, H)
 
-        ckeys = pack_states(children)
+        ckeys = dedup_keys(children)
         is_dup = dup_against(ckeys, seen_keys, seen_valid) | dup_within(ckeys)
         new_unique = ~is_dup
 

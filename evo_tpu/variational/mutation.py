@@ -20,9 +20,16 @@ def randflip(key, parents, n_children: int, sparseness=None, p_bf=None):
     n_children distinct flip positions per parent via argpartition of random
     uniforms and assigns one per child)."""
     P, H = parents.shape
-    u = jax.random.uniform(key, (P, H))
-    # first n_children entries of a uniformly random permutation per parent
-    flip_idx = jnp.argsort(u, axis=1)[:, :n_children]  # [P, C]
+    if n_children == 1:
+        # single child per parent: one uniform flip index suffices (256x
+        # less PRNG work than drawing [P, H] uniforms)
+        flip_idx = jax.random.randint(key, (P, 1), 0, H)
+    else:
+        u = jax.random.uniform(key, (P, H))
+        # the top-C indices of iid uniforms form a uniformly random C-subset
+        # — same distribution as the reference's argpartition trick, but
+        # top_k is far cheaper than a full sort on the VPU
+        flip_idx = jax.lax.top_k(u, n_children)[1]  # [P, C]
     children = jnp.repeat(parents, n_children, axis=0)  # [P*C, H], parent-major
     onehot = jax.nn.one_hot(flip_idx.reshape(-1), H, dtype=bool)
     return jnp.logical_xor(children, onehot)

