@@ -299,10 +299,11 @@ class BSC:
                 pies=acc["pies"] + jnp.sum(rho, axis=0),
                 sigma=acc["sigma"] + sig,
                 Fsum=acc["Fsum"] + Fsum,
-                nuni=acc["nuni"] + jnp.sum(n_uni * valid_b),
-                nsub=acc["nsub"] + jnp.sum(n_sub * valid_b),
+                nuni=acc["nuni"] + jnp.sum(n_uni * valid_b, dtype=jnp.int32),
+                nsub=acc["nsub"] + jnp.sum(n_sub * valid_b, dtype=jnp.int32),
                 resets=tuple(
-                    a + jnp.sum(b) for a, b in zip(acc["resets"], tuple(counts))
+                    a + jnp.sum(b, dtype=jnp.int32)
+                    for a, b in zip(acc["resets"], tuple(counts))
                 ),
             )
             return acc, (ss2, lpj_full, y_rec)

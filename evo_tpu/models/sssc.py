@@ -371,12 +371,13 @@ class SSSC:
                 + jnp.sum(xinf_b.astype(dt) * (xpt_sz @ W.T) ** 2),
                 y2sum=acc["y2sum"] + jnp.sum(y2_b * vf),
                 Fsum=acc["Fsum"] + Fsum,
-                nuni=acc["nuni"] + jnp.sum(n_uni * valid_b),
-                nsub=acc["nsub"] + jnp.sum(n_sub * valid_b),
+                nuni=acc["nuni"] + jnp.sum(n_uni * valid_b, dtype=jnp.int32),
+                nsub=acc["nsub"] + jnp.sum(n_sub * valid_b, dtype=jnp.int32),
                 resets=tuple(
-                    a + jnp.sum(b) for a, b in zip(acc["resets"], tuple(counts))
+                    a + jnp.sum(b, dtype=jnp.int32)
+                    for a, b in zip(acc["resets"], tuple(counts))
                 ),
-                psi_bad=acc["psi_bad"] + jnp.sum(n_bad),
+                psi_bad=acc["psi_bad"] + jnp.sum(n_bad, dtype=jnp.int32),
             )
             return new, (ss2, lpj_full, y_rec)
 
