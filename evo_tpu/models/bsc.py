@@ -46,6 +46,7 @@ from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states
 from evo_tpu.variational.state_init import EState, full_state_matrix
 from evo_tpu.variational.varykn import vary_Kn
+from evo_tpu.ops.pallas_lpj import bsc_lpj_pallas, pallas_lpj_applicable
 
 PARAM_TOL = 1e-5  # reference noise_policy bounds (_models.py:47-52)
 
@@ -66,6 +67,9 @@ class BSC:
     D: int
     H: int
     to_learn: Tuple[str, ...] = ("W", "pi", "sigma")
+    # "auto": use the fused Pallas lpj kernel for the K-state evaluation when
+    # profitable (TPU, complete data, MXU-friendly shapes); "xla" | "pallas"
+    lpj_kernel: str = "auto"
 
     # ------------------------------------------------------------------ init
 
@@ -184,11 +188,13 @@ class BSC:
 
     # ---------------------------------------------------------------- E-step
 
-    def _estep_one(self, key_n, ss_n, G_n, Wty_n, y2_n, pre, cfg: EAConfig):
+    def _estep_one(self, key_n, ss_n, G_n, Wty_n, y2_n, pre, cfg: EAConfig,
+                   lpj_K=None):
         """Full evolutionary E-step for one datapoint (vmapped over B).
 
         Mirrors the reference E_step body (_models.py:497-535): evaluate lpj
-        of the current K^(n), evolve new candidates, merge via vary_Kn.
+        of the current K^(n) (optionally precomputed at block level by the
+        Pallas kernel), evolve new candidates, merge via vary_Kn.
         """
         reset_counts = []
 
@@ -198,7 +204,8 @@ class BSC:
             reset_counts.append(counts)
             return lpj
 
-        lpj_K = lpj_fn(ss_n)
+        if lpj_K is None:
+            lpj_K = lpj_fn(ss_n)
         if cfg.exact:
             ss2, lpj2 = ss_n, lpj_K
             n_uni = jnp.zeros((), jnp.int32)
@@ -216,7 +223,13 @@ class BSC:
         else:
             lpj_full = lpj2
 
-        counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
+        if reset_counts:
+            counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
+        else:
+            from evo_tpu.ops.numerics import LpjResetCounts
+
+            zero = jnp.zeros((), jnp.int32)
+            counts = LpjResetCounts(zero, zero, zero)
         return ss2, lpj_full, n_uni, n_sub, counts
 
     # ---------------------------------------------------------------- epoch
@@ -251,14 +264,30 @@ class BSC:
         keys = jax.random.split(key, nb * B).reshape(nb, B)
         G_shared = None if data.incomplete else W.T @ W
 
+        use_pallas = self.lpj_kernel == "pallas" or (
+            self.lpj_kernel == "auto"
+            and pallas_lpj_applicable(B, cfg.S, self.H, data.incomplete)
+            and dt == jnp.float32
+        )
+
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
 
+            if use_pallas:
+                lpj_K_b = bsc_lpj_pallas(
+                    ss_b, Wty_b, y2_b, G_b, pre["pre1"], pre["pil_bar"]
+                )
+                lpj_K_b, counts0 = reset_lpj(lpj_K_b, valid=valid_b)
+                lpj_K_axis = 0
+            else:
+                lpj_K_b, counts0, lpj_K_axis = None, None, None
+
             ss2, lpj_full, n_uni, n_sub, counts = jax.vmap(
-                self._estep_one, in_axes=(0, 0, g_axis, 0, 0, None, None)
-            )(keys_b, ss_b, G_b, Wty_b, y2_b, pre, cfg)
+                self._estep_one,
+                in_axes=(0, 0, g_axis, 0, 0, None, None, lpj_K_axis),
+            )(keys_b, ss_b, G_b, Wty_b, y2_b, pre, cfg, lpj_K_b)
 
             vf = valid_b.astype(dt)
             # ---- free energy contribution (post-merge, old params)
@@ -303,7 +332,11 @@ class BSC:
                 nsub=acc["nsub"] + jnp.sum(n_sub * valid_b, dtype=jnp.int32),
                 resets=tuple(
                     a + jnp.sum(b, dtype=jnp.int32)
-                    for a, b in zip(acc["resets"], tuple(counts))
+                    + (jnp.asarray(c, jnp.int32) if counts0 is not None else 0)
+                    for a, b, c in zip(
+                        acc["resets"], tuple(counts),
+                        tuple(counts0) if counts0 is not None else (0, 0, 0),
+                    )
                 ),
             )
             return acc, (ss2, lpj_full, y_rec)
