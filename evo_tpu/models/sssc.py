@@ -207,14 +207,14 @@ class SSSC:
 
         Returns (logdetM, logdetP, lam, Pinv_bad) where lam is lambda_s
         identity-padded [H, H]."""
+        from evo_tpu.ops.linalg import pd_inverse_logdet
+
         ssT = jnp.outer(sf, sf)
         off = jnp.diag(1.0 - sf)
         Ppad = Psi * ssT + off
-        Pinv = jnp.linalg.inv(Ppad)
-        logdetP = jnp.linalg.slogdet(Ppad)[1]
+        Pinv, logdetP = pd_inverse_logdet(Ppad)
         M = sigma2_inv * (G_n * ssT) + Pinv
-        lam = jnp.linalg.inv(M)
-        logdetM = jnp.linalg.slogdet(M)[1]
+        lam, logdetM = pd_inverse_logdet(M)
         bad = jnp.logical_not(jnp.isfinite(Pinv).all())
         return logdetM, logdetP, lam, bad
 
