@@ -214,7 +214,7 @@ class BSC:
             children, child_lpj, new_unique = evolve_states(
                 key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
             )
-            ss2, lpj2, n_sub = vary_Kn(ss_n, lpj_K, children, child_lpj, cfg.mprime)
+            ss2, lpj2, n_sub, _ = vary_Kn(ss_n, lpj_K, children, child_lpj, cfg.mprime)
             n_uni = new_unique.sum()
 
         if cfg.allzero:

@@ -220,7 +220,13 @@ class SSSC:
 
     @staticmethod
     def _lpj_states(states, G_n, Wty_n, y2_n, Psi, mus, sigma2_inv, pil_bar):
-        """lpj of states [K, H] for one datapoint (no expectations)."""
+        """lpj of states [K, H] for one datapoint, plus the posterior slab
+        quantities that fall out of the same solves: kappa~ (zero-padded
+        posterior slab means, reference sssc.py:574-575) and lambda~ masked
+        to the active block.  Returning them here lets the EM step reuse the
+        candidate-evaluation solves for the sufficient statistics instead of
+        re-solving for the merged K^(n) (the reference reuses its storage
+        dict the same way, sssc.py:568-570)."""
         dt = Wty_n.dtype
         sf = states.astype(dt)  # [K, H]
         a = sf * mus  # [K, H]
@@ -233,28 +239,14 @@ class SSSC:
             SSSC._state_solve, in_axes=(0, None, None, None, None)
         )(sf, G_n, Psi, mus, sigma2_inv)
 
-        quad2 = jnp.einsum("kh,khj,kj->k", u, lam, u)
+        lam_u = jnp.einsum("khj,kj->kh", lam, u)  # [K, H]
+        quad2 = jnp.sum(u * lam_u, axis=-1)
         lpj = -0.5 * (
             logdetM + logdetP + sigma2_inv * ynorm2 - sigma2_inv**2 * quad2
         ) + sf @ pil_bar
-        return lpj, jnp.sum(bad)
-
-    @staticmethod
-    def _expectations(states, G_n, Wty_n, Psi, mus, sigma2_inv):
-        """kappa~ [K, H] (zero-padded posterior slab means) and lambda~
-        masked to the active block [K, H, H] for the final K^(n) states
-        (reference sssc.py:561-595)."""
-        dt = Wty_n.dtype
-        sf = states.astype(dt)
-        a = sf * mus
-        Ga = jnp.einsum("kh,hj->kj", a, G_n) if G_n.ndim == 2 else a @ G_n.T
-        u = sf * (Wty_n - Ga)
-        _, _, lam, _ = jax.vmap(
-            SSSC._state_solve, in_axes=(0, None, None, None, None)
-        )(sf, G_n, Psi, mus, sigma2_inv)
-        kappa = sigma2_inv * jnp.einsum("khj,kj->kh", lam, u) + a  # [K, H]
+        kappa = sigma2_inv * lam_u + a  # [K, H], zero on inactive units
         lam_masked = lam * sf[:, :, None] * sf[:, None, :]
-        return kappa, lam_masked
+        return lpj, jnp.sum(bad), kappa, lam_masked
 
     # ---------------------------------------------------------------- epoch
 
@@ -284,14 +276,18 @@ class SSSC:
         def estep_one(key_n, ss_n, G_n, Wty_n, y2_n):
             reset_counts = []
             bad_counts = []
+            kappa_stash = []
+            lam_stash = []
 
             def lpj_fn(states):
-                lpj, bad = self._lpj_states(
+                lpj, bad, kappa, lam_m = self._lpj_states(
                     states, G_n, Wty_n, y2_n, Psi, mus, s2inv, pre["pil_bar"]
                 )
                 lpj, counts = reset_lpj(lpj)
                 reset_counts.append(counts)
                 bad_counts.append(bad)
+                kappa_stash.append(kappa)
+                lam_stash.append(lam_m)
                 return lpj
 
             lpj_K = lpj_fn(ss_n)
@@ -299,11 +295,14 @@ class SSSC:
                 ss2, lpj2 = ss_n, lpj_K
                 n_uni = jnp.zeros((), jnp.int32)
                 n_sub = jnp.zeros((), jnp.int32)
+                idx = jnp.arange(cfg.S)
             else:
                 children, child_lpj, new_unique = evolve_states(
                     key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
                 )
-                ss2, lpj2, n_sub = vary_Kn(ss_n, lpj_K, children, child_lpj, cfg.mprime)
+                ss2, lpj2, n_sub, idx = vary_Kn(
+                    ss_n, lpj_K, children, child_lpj, cfg.mprime
+                )
                 n_uni = new_unique.sum()
 
             if cfg.allzero:
@@ -313,34 +312,43 @@ class SSSC:
                 lpj_full = lpj2
 
             counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
-            return ss2, lpj_full, n_uni, n_sub, counts, sum(bad_counts)
+            # candidate-aligned slab quantities: [S+T, H] / [S+T, H, H] in
+            # the same order as vary_Kn's concat(old, children)
+            kappa_all = jnp.concatenate(kappa_stash, axis=0)
+            lam_all = jnp.concatenate(lam_stash, axis=0)
+            return (ss2, lpj_full, n_uni, n_sub, counts, sum(bad_counts),
+                    kappa_all, lam_all, idx)
 
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
 
-            ss2, lpj_full, n_uni, n_sub, counts, n_bad = jax.vmap(
+            (ss2, lpj_full, n_uni, n_sub, counts, n_bad,
+             kappa_all, lam_all, idx) = jax.vmap(
                 estep_one, in_axes=(0, 0, g_axis, 0, 0)
             )(keys_b, ss_b, G_b, Wty_b, y2_b)
 
             vf = valid_b.astype(dt)
             Fsum = jnp.sum(shifted_logsumexp(lpj_full) * vf)
 
-            # ---- expectations for the merged states
-            kappa, lam_m = jax.vmap(
-                self._expectations, in_axes=(0, g_axis, 0, None, None, None)
-            )(ss2, G_b, Wty_b, Psi, mus, s2inv)  # [B,S,H], [B,S,H,H]
-
             r = posterior_weights(lpj_full) * vf[:, None]  # [B, S_perm+S]
             rs = r[:, S_perm:]  # [B, S]
             sf = ss2.astype(dt)
 
+            # ---- expectations from the candidate-evaluation solves:
+            # scatter the merged responsibilities back onto the candidate
+            # axis (r~[k] = r of the K^(n) member that candidate k became,
+            # 0 if dropped) and take weighted sums — no re-solving
+            K_all = kappa_all.shape[1]
+            onehot = jax.nn.one_hot(idx, K_all, dtype=dt)  # [B, S, K_all]
+            rtil = jnp.einsum("bs,bsk->bk", rs, onehot)  # [B, K_all]
+
             xpt_s = jnp.einsum("bs,bsh->bh", rs, sf)  # [B,H]
             xpt_ss = jnp.einsum("bs,bsh,bsk->bhk", rs, sf, sf)  # [B,H,H]
-            xpt_sz = jnp.einsum("bs,bsh->bh", rs, kappa)  # [B,H]
-            xpt_szsz = jnp.einsum("bs,bshk->bhk", rs, lam_m) + jnp.einsum(
-                "bs,bsh,bsk->bhk", rs, kappa, kappa
+            xpt_sz = jnp.einsum("bk,bkh->bh", rtil, kappa_all)  # [B,H]
+            xpt_szsz = jnp.einsum("bk,bkhj->bhj", rtil, lam_all) + jnp.einsum(
+                "bk,bkh,bkj->bhj", rtil, kappa_all, kappa_all
             )  # [B,H,H]
 
             # ---- reconstruction: est = W @ <sz>_n (reference sssc.py:614-627
@@ -490,9 +498,9 @@ class SSSC:
             g_axis = 0 if data.incomplete else None
 
             def one(G_n, Wty_n, y2_n):
-                lpj, _ = self._lpj_states(
+                lpj = self._lpj_states(
                     sm, G_n, Wty_n, y2_n, Psi, mus, s2inv, pre["pil_bar"]
-                )
+                )[0]
                 return reset_lpj(lpj)[0]
 
             lpj = jax.vmap(one, in_axes=(g_axis, 0, 0))(G_b, Wty_b, y2_b)

@@ -32,8 +32,10 @@ def vary_Kn(
     children: jnp.ndarray,  # [T, H] bool
     child_lpj: jnp.ndarray,  # [T], -inf at duplicates
     Mprime: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (ss_new [S,H], lpj_new [S], n_subs scalar int).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (ss_new [S,H], lpj_new [S], n_subs, idx [S]) where idx maps
+    each new K^(n) member to its position in concat(old, children) — callers
+    use it to gather per-candidate quantities computed during evaluation.
 
     Implementation: new K^(n) = top-S of (old ∪ eligible children) as a
     single top_k + gather.  This equals the reference's pairwise
@@ -59,4 +61,4 @@ def vary_Kn(
     vals, idx = jax.lax.top_k(combined_lpj, S)
     ss_new = take_rows(jnp.concatenate([ss_n, children], axis=0), idx)
     n_sub = jnp.sum(idx >= S)
-    return ss_new, vals, n_sub
+    return ss_new, vals, n_sub, idx

@@ -75,7 +75,7 @@ def test_vary_kn_swaps_improving_only(rng):
     lpj = jnp.asarray(np.array([10.0, 2.0, 30.0, 4.0, 5.0], np.float32))
     children = jnp.asarray(make_unique_states(rng, T, H))
     child_lpj = jnp.asarray(np.array([3.0, 50.0, -np.inf, 1.0, 40.0, 4.5], np.float32))
-    ss2, lpj2, nsub = vary_Kn(ss, lpj, children, child_lpj, Mprime=S)
+    ss2, lpj2, nsub, _ = vary_Kn(ss, lpj, children, child_lpj, Mprime=S)
     # union top-5 of {10,2,30,4,5} and {3,50,1,40,4.5} = {50,40,30,10,5}? ->
     # sorted union desc: 50,40,30,10,5,4.5,4,3,2,1 -> top5 = 50,40,30,10,5
     out = sorted(np.asarray(lpj2).tolist(), reverse=True)
@@ -91,7 +91,7 @@ def test_vary_kn_respects_mprime(rng):
     lpj = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0], np.float32))
     children = jnp.asarray(make_unique_states(rng, 4, H))
     child_lpj = jnp.asarray(np.array([10.0, 11.0, 12.0, 13.0], np.float32))
-    ss2, lpj2, nsub = vary_Kn(ss, lpj, children, child_lpj, Mprime=2)
+    ss2, lpj2, nsub, _ = vary_Kn(ss, lpj, children, child_lpj, Mprime=2)
     assert int(nsub) == 2
     out = sorted(np.asarray(lpj2).tolist(), reverse=True)
     # only 2 best new states enter, replacing the 2 worst old
@@ -104,7 +104,7 @@ def test_vary_kn_keeps_states_consistent_with_lpj(rng):
     old, new = jnp.asarray(ss[:S]), jnp.asarray(ss[S:])
     lpj_old = toy_lpj_fn(old)
     lpj_new = toy_lpj_fn(new)
-    ss2, lpj2, _ = vary_Kn(old, lpj_old, new, lpj_new, Mprime=S)
+    ss2, lpj2, _, _ = vary_Kn(old, lpj_old, new, lpj_new, Mprime=S)
     # stored lpj must equal the score of the stored state
     recomputed = np.asarray(toy_lpj_fn(ss2))
     assert np.allclose(recomputed, np.asarray(lpj2), rtol=1e-5)

@@ -63,7 +63,7 @@ def test_sssc_lpj_matches_numpy_oracle(rng):
     for mask in [np.ones(D, bool), rng.random(D) < 0.7]:
         G, Wty, y2 = _gram(W, y, mask)
         with jax.enable_x64(True):
-            got, nbad = SSSC._lpj_states(
+            got, nbad, _, _ = SSSC._lpj_states(
                 jnp.asarray(states), jnp.asarray(G), jnp.asarray(Wty),
                 jnp.asarray(y2), jnp.asarray(Psi), jnp.asarray(mus),
                 jnp.asarray(1.0 / sigma2), jnp.asarray(np.log(pies / (1 - pies))),
@@ -83,9 +83,10 @@ def test_sssc_expectations_match_numpy_oracle(rng):
     mask = np.ones(D, bool)
     G, Wty, y2 = _gram(W, y, mask)
     with jax.enable_x64(True):
-        kappa, lam_m = SSSC._expectations(
+        _, _, kappa, lam_m = SSSC._lpj_states(
             jnp.asarray(states), jnp.asarray(G), jnp.asarray(Wty),
-            jnp.asarray(Psi), jnp.asarray(mus), jnp.asarray(1.0 / sigma2),
+            jnp.asarray((Wty * 0.0).sum()), jnp.asarray(Psi), jnp.asarray(mus),
+            jnp.asarray(1.0 / sigma2), jnp.zeros(states.shape[1]),
         )
     kappa, lam_m = np.asarray(kappa), np.asarray(lam_m)
     s2i = 1.0 / sigma2
