@@ -78,6 +78,8 @@ def main():
     cfg, estate = init_states(
         N=N, S=S, H=H, no_parents=N_PARENTS, no_children=N_CHILDREN,
         no_generations=N_GENERATIONS, n_blocks=N_BLOCKS, seed=0,
+        # packed_states=True gives 8x smaller K-set storage (for N beyond
+        # HBM) at ~7% epoch cost; off here since this config fits easily
     )
     params = model.standard_init(data, seed=0, y_host=Y)
     print(f"setup: {time.time()-t0:.1f}s", file=sys.stderr)

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from evo_tpu.models.base import Data, StepStats, block_gram
+from evo_tpu.ops.bitpack import pack_bits_u8, unpack_bits_u8
 from evo_tpu.ops.numerics import (
     free_energy_from_lpj,
     posterior_weights,
@@ -272,6 +273,8 @@ class BSC:
 
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
+            if cfg.packed_states:
+                ss_b = unpack_bits_u8(ss_b, self.H)
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
 
@@ -339,7 +342,8 @@ class BSC:
                     )
                 ),
             )
-            return acc, (ss2, lpj_full, y_rec)
+            ss_out = pack_bits_u8(ss2) if cfg.packed_states else ss2
+            return acc, (ss_out, lpj_full, y_rec)
 
         acc0 = dict(
             Wp=jnp.zeros((self.H, self.D), dt),

@@ -41,6 +41,29 @@ def pack_states(ss: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
 
+def pack_bits_u8(ss: jnp.ndarray) -> jnp.ndarray:
+    """Pack boolean states [..., H] to uint8 [..., ceil(H/8)] (little
+    bitorder, matching np.packbits(..., bitorder='little')).  Used for the
+    8x-compressed persistent storage of the K^(n) state sets."""
+    H = ss.shape[-1]
+    W8 = -(-H // 8)
+    pad = W8 * 8 - H
+    if pad:
+        ss = jnp.concatenate(
+            [ss, jnp.zeros(ss.shape[:-1] + (pad,), ss.dtype)], axis=-1
+        )
+    bits = ss.reshape(ss.shape[:-1] + (W8, 8)).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)).astype(jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+def unpack_bits_u8(packed: jnp.ndarray, H: int) -> jnp.ndarray:
+    """uint8 [..., ceil(H/8)] (little bitorder) -> bool [..., H]."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :H].astype(bool)
+
+
 def hash_words(keys: jnp.ndarray) -> jnp.ndarray:
     """Mix packed words [..., W] uint32 into 2 uint32 hash words [..., 2].
 

@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from evo_tpu.variational.state_init import EState, _unpack_bits
+from evo_tpu.ops.bitpack import unpack_bits_u8
+from evo_tpu.variational.state_init import EState
 
 _SEP = "/"
 
@@ -38,9 +39,12 @@ def _flatten(tree) -> dict:
 def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> None:
     blobs = {f"params{_SEP}{k}": v for k, v in _flatten(params).items()}
     ss = np.asarray(estate.ss)
-    H = ss.shape[-1]
-    blobs["estate_ss_packed"] = np.packbits(ss, axis=-1, bitorder="little")
-    blobs["estate_ss_H"] = np.asarray(H)
+    if ss.dtype == np.uint8:  # already bit-packed (EAConfig.packed_states)
+        blobs["estate_ss_packed"] = ss
+        blobs["estate_ss_H"] = np.asarray(-1)  # sentinel: keep packed
+    else:
+        blobs["estate_ss_packed"] = np.packbits(ss, axis=-1, bitorder="little")
+        blobs["estate_ss_H"] = np.asarray(ss.shape[-1])
     blobs["estate_lpj"] = np.asarray(estate.lpj)
     blobs["epoch"] = np.asarray(epoch)
     blobs["rng_key"] = np.asarray(jax.random.key_data(key))
@@ -67,7 +71,10 @@ def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]
         params = jax.tree_util.tree_unflatten(treedef, new_leaves)
 
         H = int(z["estate_ss_H"])
-        ss = _unpack_bits(jnp.asarray(z["estate_ss_packed"]), H=H)
+        if H == -1:  # stored packed (EAConfig.packed_states)
+            ss = jnp.asarray(z["estate_ss_packed"])
+        else:
+            ss = unpack_bits_u8(jnp.asarray(z["estate_ss_packed"]), H=H)
         estate = EState(ss=ss, lpj=jnp.asarray(z["estate_lpj"]))
         epoch = int(z["epoch"])
         key = jax.random.wrap_key_data(jnp.asarray(z["rng_key"]))

@@ -34,6 +34,9 @@ class EAConfig:
     exact: bool = False
     # number of scan blocks the batch is split into inside em_step
     n_blocks: int = 1
+    # store the K^(n) state sets bit-packed (uint8, 8x less HBM/checkpoint/
+    # transfer); em_step unpacks per block
+    packed_states: bool = False
 
     def __post_init__(self):
         assert self.parent_selection in SELECTIONS, self.parent_selection

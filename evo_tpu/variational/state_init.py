@@ -133,6 +133,7 @@ def init_states(
     seed: int = 0,
     n_blocks: int = 1,
     dtype=jnp.float32,
+    packed_states: bool = False,
 ):
     """Build (EAConfig, EState) for a fresh experiment.
 
@@ -160,6 +161,7 @@ def init_states(
         background=background,
         exact=exact,
         n_blocks=n_blocks,
+        packed_states=packed_states,
     )
 
     if exact:
@@ -183,16 +185,16 @@ def init_states(
     lpj = jnp.zeros((n_blocks, B, cfg.S_perm + cfg.S), dtype=dtype)
     ss = np.ascontiguousarray(ss.reshape(n_blocks, B, ss.shape[1], ss.shape[2]))
     # ship packed bits (8x less host->device traffic; the device link may be
-    # a tunnel) and unpack on device
+    # a tunnel); keep them packed on device when packed_states is set
+    from evo_tpu.ops.bitpack import unpack_bits_u8
+
     H_out = ss.shape[-1]
     packed = np.packbits(ss, axis=-1, bitorder="little")
-    ss_dev = jax.jit(_unpack_bits, static_argnames="H")(jnp.asarray(packed), H=H_out)
+    if packed_states:
+        ss_dev = jnp.asarray(packed)
+    else:
+        ss_dev = jax.jit(unpack_bits_u8, static_argnames="H")(
+            jnp.asarray(packed), H=H_out
+        )
     estate = EState(ss=ss_dev, lpj=lpj)
     return cfg, estate
-
-
-def _unpack_bits(packed: jnp.ndarray, H: int) -> jnp.ndarray:
-    """uint8 [..., ceil(H/8)] (little bitorder) -> bool [..., H]."""
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
-    return bits.reshape(packed.shape[:-1] + (-1,))[..., :H].astype(bool)

@@ -59,3 +59,54 @@ def test_dryrun_multichip_entrypoint():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out[2]))
+
+
+def test_packed_states_equivalence():
+    """EAConfig.packed_states must not change any result (8x memory mode)."""
+    import dataclasses
+
+    from evo_tpu.variational.state_init import init_states
+    from evo_tpu.models import make_data
+    from evo_tpu.models.bsc import BSC
+
+    N, H, D, S = 64, 10, 9, 12
+    model = BSC(D=D, H=H)
+    Y = np.random.default_rng(3).normal(size=(N, D))
+    data = make_data(Y, n_blocks=2)
+    cfg1, est1 = init_states(N=N, S=S, H=H, no_parents=5, no_generations=2,
+                             n_blocks=2, seed=1, packed_states=False)
+    cfg2, est2 = init_states(N=N, S=S, H=H, no_parents=5, no_generations=2,
+                             n_blocks=2, seed=1, packed_states=True)
+    assert est2.ss.dtype == jnp.uint8
+    assert est2.ss.shape[-1] == -(-H // 8)
+    params = model.standard_init(data, seed=0)
+    key = jax.random.key(9)
+    p1, e1, s1, _ = model.em_step(params, est1, data, key, cfg1)
+    p2, e2, s2, _ = model.em_step(params, est2, data, key, cfg2)
+    np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(e1.lpj), np.asarray(e2.lpj))
+    from evo_tpu.ops.bitpack import unpack_bits_u8
+
+    np.testing.assert_array_equal(np.asarray(e1.ss),
+                                  np.asarray(unpack_bits_u8(e2.ss, H)))
+    np.testing.assert_allclose(np.asarray(p1.W), np.asarray(p2.W), rtol=1e-6)
+
+
+def test_packed_states_checkpoint_roundtrip(tmp_path):
+    from evo_tpu.variational.state_init import init_states
+    from evo_tpu.models import make_data
+    from evo_tpu.models.bsc import BSC
+    from evo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+    N, H, D, S = 32, 9, 9, 8
+    model = BSC(D=D, H=H)
+    Y = np.random.default_rng(0).normal(size=(N, D))
+    data = make_data(Y)
+    cfg, estate = init_states(N=N, S=S, H=H, no_parents=4, packed_states=True)
+    params = model.standard_init(data, seed=0)
+    params, estate, _, _ = model.em_step(params, estate, data, jax.random.key(0), cfg)
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, params, estate, 3, jax.random.key(1))
+    p2, e2, epoch, k2 = load_checkpoint(path, params_like=params)
+    assert e2.ss.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(estate.ss), np.asarray(e2.ss))
