@@ -82,6 +82,15 @@ def main():
         # HBM) at ~7% epoch cost; off here since this config fits easily
     )
     params = model.standard_init(data, seed=0, y_host=Y)
+    if len(jax.devices()) > 1:
+        # data-parallel over all chips (ICI): shard the blocked batch axis
+        from evo_tpu.parallel import make_mesh, replicate, shard_blocked
+
+        mesh = make_mesh()
+        data = shard_blocked(data, mesh)
+        estate = shard_blocked(estate, mesh)
+        params = replicate(params, mesh)
+        print(f"sharded over {len(jax.devices())} devices", file=sys.stderr)
     print(f"setup: {time.time()-t0:.1f}s", file=sys.stderr)
     warm.join()
 

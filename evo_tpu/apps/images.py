@@ -77,6 +77,20 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
     ovp = OVP(corrupted, args.patch_height, patch_width, patch_shift=1)
     Y = ovp.get().T  # [N, D]
     N, D = Y.shape
+    # per-patch DC centering (on observed pixels): the raw 0..255 DC level
+    # dominates the patch energy, which both hurts f32 conditioning and
+    # wastes model capacity on the mean; fluctuations are what the sparse
+    # code should model (the reference's own feature-learning pipeline
+    # mean-subtracts patches the same way).  Reconstructions get the DC
+    # added back before merging.  Disable with --no_dc_center.
+    dc_center = getattr(args, "dc_center", True)
+    if dc_center:
+        with np.errstate(invalid="ignore"):
+            dc = np.nanmean(Y, axis=1, keepdims=True)
+        dc = np.where(np.isfinite(dc), dc, 0.0)
+        Y = Y - dc
+    else:
+        dc = np.zeros((N, 1))
     no_channels = 3 if isrgb else 1
     assert D == args.patch_height * patch_width * no_channels
     print(f"{N} patches of dimension {D}")
@@ -129,7 +143,7 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
                                           or epoch == args.no_epochs)
         rec_img, psnr_val = None, None
         if do_merge:
-            Y_rec = gather_reconstruction(y_rec, N)
+            Y_rec = gather_reconstruction(y_rec, N) + dc
             for mname, merger in merge_strategies.items():
                 img = ovp.set_and_merge(Y_rec.T, merge_method=merger)
                 p = psnr(clean, img, data_range=255.0)

@@ -130,15 +130,19 @@ def block_gram(W, y_b, xinf_b, incomplete: bool):
     reference's per-state GEMVs (bsc.py:91-95) and per-state D-dimensional
     solves (sssc.py:276-318)."""
     dt = W.dtype
-    if incomplete:
-        m = xinf_b.astype(dt)
-        G = jnp.einsum("bd,dh,dk->bhk", m, W, W)
-        Wty = jnp.einsum("bd,dh->bh", y_b * m, W)
-        y2 = jnp.sum(m * y_b * y_b, axis=-1)
-    else:
-        G = W.T @ W
-        Wty = y_b @ W
-        y2 = jnp.sum(y_b * y_b, axis=-1)
+    # true-f32 matmuls: G and Wty feed cancellation-sensitive quadratic
+    # forms; the TPU's default reduced-precision passes are not enough at
+    # real image scales (|y| ~ 1e2, G ~ 1e5)
+    with jax.default_matmul_precision("highest"):
+        if incomplete:
+            m = xinf_b.astype(dt)
+            G = jnp.einsum("bd,dh,dk->bhk", m, W, W)
+            Wty = jnp.einsum("bd,dh->bh", y_b * m, W)
+            y2 = jnp.sum(m * y_b * y_b, axis=-1)
+        else:
+            G = W.T @ W
+            Wty = y_b @ W
+            y2 = jnp.sum(y_b * y_b, axis=-1)
     return G, Wty, y2
 
 

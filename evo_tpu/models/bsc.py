@@ -382,8 +382,15 @@ class BSC:
         new = dict(W=params.W, pi=params.pi, sigma=params.sigma, pies=params.pies)
 
         if "W" in self.to_learn:
-            W_new_T = jnp.linalg.lstsq(acc["Wq"], acc["Wp"])[0]  # [H, D]
-            new["W"] = W_new_T.T
+            from evo_tpu.ops.linalg import equilibrated_pd_inverse
+
+            # Wq is PSD; equilibrated PD solve with a dtype-scaled ridge
+            # replaces the reference's lstsq/pinv/noise fallback chain
+            # (bsc.py:236-250) — same solution on well-posed systems,
+            # pinv-like behavior on singular ones, and f32-safe on TPU
+            ridge = 0.0 if params.W.dtype == jnp.float64 else 1e-6
+            new["W"] = (equilibrated_pd_inverse(acc["Wq"], rel_ridge=ridge)
+                        @ acc["Wp"]).T
 
         if "pi" in self.to_learn:
             pies_new = acc["pies"] / N

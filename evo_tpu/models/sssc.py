@@ -138,9 +138,15 @@ class SSSC:
 
     def check_params(self, p: SSSCParams) -> SSSCParams:
         """Reference noise policy (sssc.py:51-58): pies in [tol, 1-tol],
-        sigma2 >= tol, Psi diagonal >= tol, W and mus unbounded."""
-        diag = jnp.diag(p.Psi)
-        Psi = p.Psi + jnp.diag(jnp.maximum(diag, PARAM_TOL) - diag)
+        sigma2 >= tol, Psi diagonal >= tol, W and mus unbounded.
+
+        Deviation: Psi is symmetrized.  The reference's element-wise Psi
+        update (sssc.py:738) produces an asymmetric matrix that it feeds to
+        a general LU inverse; Psi is a covariance, and our batched PD solver
+        requires (and the model semantics imply) symmetry."""
+        Psi_sym = 0.5 * (p.Psi + p.Psi.T)
+        diag = jnp.diag(Psi_sym)
+        Psi = Psi_sym + jnp.diag(jnp.maximum(diag, PARAM_TOL) - diag)
         return SSSCParams(
             W=p.W,
             pies=jnp.clip(p.pies, PARAM_TOL, 1.0 - PARAM_TOL),
@@ -230,23 +236,31 @@ class SSSC:
         dict the same way, sssc.py:568-570)."""
         dt = Wty_n.dtype
         sf = states.astype(dt)  # [K, H]
-        a = sf * mus  # [K, H]
-        Ga = a @ G_n.T if G_n.ndim == 2 else jnp.einsum("kh,hj->kj", a, G_n)
-        # u = s .* (W^T m y~) = s .* (Wty - G a)
-        u = sf * (Wty_n - Ga)  # [K, H]
-        ynorm2 = y2_n - 2.0 * jnp.sum(a * Wty_n, -1) + jnp.sum(a * Ga, -1)  # [K]
+        with jax.default_matmul_precision("high"):
+            a = sf * mus  # [K, H]
+            Ga = a @ G_n.T if G_n.ndim == 2 else jnp.einsum("kh,hj->kj", a, G_n)
+            # u = s .* (W^T m y~) = s .* (Wty - G a)
+            u = sf * (Wty_n - Ga)  # [K, H]
+            ynorm2 = y2_n - 2.0 * jnp.sum(a * Wty_n, -1) + jnp.sum(a * Ga, -1)
 
-        logdetM, logdetP, lam, bad = jax.vmap(
-            SSSC._state_solve, in_axes=(0, None, None, None, None)
-        )(sf, G_n, Psi, mus, sigma2_inv)
+            logdetM, logdetP, lam, bad = jax.vmap(
+                SSSC._state_solve, in_axes=(0, None, None, None, None)
+            )(sf, G_n, Psi, mus, sigma2_inv)
 
-        lam_u = jnp.einsum("khj,kj->kh", lam, u)  # [K, H]
-        quad2 = jnp.sum(u * lam_u, axis=-1)
+            lam_u = jnp.einsum("khj,kj->kh", lam, u)  # [K, H]
+            quad2 = jnp.sum(u * lam_u, axis=-1)
         lpj = -0.5 * (
             logdetM + logdetP + sigma2_inv * ynorm2 - sigma2_inv**2 * quad2
         ) + sf @ pil_bar
         kappa = sigma2_inv * lam_u + a  # [K, H], zero on inactive units
         lam_masked = lam * sf[:, :, None] * sf[:, None, :]
+        # a non-PD Psi (possible under the reference's Psi-update heuristic)
+        # yields non-finite solves; such states get lpj -> floor via
+        # reset_lpj (zero posterior weight), but 0 * nan would still poison
+        # the expectation sums — sanitize (the reference's pinv fallback
+        # plays the same role, sssc.py:279-283)
+        kappa = jnp.nan_to_num(kappa, nan=0.0, posinf=0.0, neginf=0.0)
+        lam_masked = jnp.nan_to_num(lam_masked, nan=0.0, posinf=0.0, neginf=0.0)
         return lpj, jnp.sum(bad), kappa, lam_masked
 
     # ---------------------------------------------------------------- epoch
@@ -445,9 +459,15 @@ class SSSC:
                    sigma2=params.sigma2)
 
         if "W" in self.to_learn:
-            # W_new = Wp @ inv(S), S symmetric -> solve S X = Wp^T
-            W_new = jnp.linalg.lstsq(acc["xpt_szsz"], acc["Wp"].T)[0].T
-            new["W"] = W_new
+            from evo_tpu.ops.linalg import equilibrated_pd_inverse
+
+            # W_new = Wp @ inv(sum<szsz'>); the PSD statistic can be
+            # near-singular (never-active units), so use the equilibrated
+            # PD inverse with a dtype-scaled ridge (pinv-like behavior;
+            # exact on well-posed f64 systems)
+            ridge = 0.0 if params.W.dtype == jnp.float64 else 1e-6
+            new["W"] = acc["Wp"] @ equilibrated_pd_inverse(
+                acc["xpt_szsz"], rel_ridge=ridge)
 
         if "pies" in self.to_learn:
             pies_new = jnp.clip(acc["xpt_s"] / N, EPS_PIES, 1.0 - EPS_PIES)
@@ -457,7 +477,14 @@ class SSSC:
 
         if "mus" in self.to_learn:
             eps_mus = jnp.finfo(params.W.dtype).eps
-            new["mus"] = acc["xpt_sz"] / (acc["xpt_s"] + eps_mus)
+            mus_upd = acc["xpt_sz"] / (acc["xpt_s"] + eps_mus)
+            # dying-unit guard: a unit whose total activation mass collapses
+            # makes mus (and through mumu^T the Psi update) explode — the
+            # classic EM pathology the reference is also exposed to (its
+            # eps_mus is only 2e-16).  Freeze such units at their previous
+            # value; they can revive in later epochs.
+            alive = acc["xpt_s"] > 1e-4 * pre["N"]
+            new["mus"] = jnp.where(alive, mus_upd, params.mus)
 
         if "Psi" in self.to_learn:
             mus_new = new["mus"]
@@ -466,19 +493,52 @@ class SSSC:
                 + acc["xpt_szsz"]
                 - 2.0 * mus_new[:, None] * acc["s_sz_outer"]
             )
-            new["Psi"] = num * jnp.linalg.inv(
-                acc["xpt_ss"] + EPS_PSI * jnp.eye(H, dtype=params.W.dtype)
+            from evo_tpu.ops.linalg import equilibrated_pd_inverse
+
+            # reference-form update (sssc.py:738): element-wise product with
+            # the inverse of the co-activation matrix; f32 gets a small
+            # relative ridge (the reference's absolute eps is sized for f64)
+            ridge = 0.0 if params.W.dtype == jnp.float64 else 1e-4
+            Psi_upd = num * equilibrated_pd_inverse(
+                acc["xpt_ss"] + EPS_PSI * jnp.eye(H, dtype=params.W.dtype),
+                rel_ridge=ridge,
             )
+            if params.W.dtype != jnp.float64:
+                # starved units get noise/noise entries — freeze their
+                # rows/columns at the previous Psi (see mus guard above)
+                alive = acc["xpt_s"] > 1e-4 * pre["N"]
+                keep = jnp.outer(alive, alive)
+                Psi_upd = jnp.where(keep, Psi_upd, params.Psi)
+            new["Psi"] = Psi_upd
 
         if "sigma2" in self.to_learn:
             if data.incomplete:
                 s2 = acc["y2sum"] - acc["trWszszW"]
                 s2 = s2 + pre["sum_d"] * params.sigma2
-                new["sigma2"] = s2 / N / D + EPS_SIGMA2
+                new["sigma2"] = jnp.maximum(s2 / N / D + EPS_SIGMA2, EPS_SIGMA2)
             else:
+                # reference shortcut (sssc.py:759-768): subtract the energy
+                # of the posterior-mean reconstructions (empirically reaches
+                # better optima than the full-posterior residual identity),
+                # floored at eps (the raw difference can go negative under
+                # f32 noise; the reference relies on f64 there)
                 WT_outer = new["W"].T @ new["W"]
                 s2 = acc["y2sum"] - jnp.trace(acc["sz_sz_outer"] @ WT_outer)
-                new["sigma2"] = s2 / N / D + EPS_SIGMA2
+                new["sigma2"] = jnp.maximum(s2 / N / D + EPS_SIGMA2, EPS_SIGMA2)
+
+        # Gauge fixing (f32 only; the f64 path stays reference-exact): the
+        # model is invariant under W -> W D, mus -> D^-1 mus, Psi -> D^-1
+        # Psi D^-1 per latent unit, so nothing anchors |Psi| — parameters
+        # random-walk along this degeneracy (slowly in the f64 reference,
+        # violently in f32) until Psi overflows.  Renormalizing to
+        # diag(Psi) = 1 each epoch is exactly likelihood-invariant and
+        # removes the runaway.
+        learns_gauge = {"W", "mus", "Psi"} <= set(self.to_learn)
+        if learns_gauge and params.W.dtype != jnp.float64:
+            d = jnp.sqrt(jnp.clip(jnp.diag(new["Psi"]), PARAM_TOL, None))
+            new["Psi"] = new["Psi"] / jnp.outer(d, d)
+            new["mus"] = new["mus"] / d
+            new["W"] = new["W"] * d[None, :]
 
         return SSSCParams(W=new["W"], pies=new["pies"], mus=new["mus"],
                           Psi=new["Psi"], sigma2=new["sigma2"])

@@ -22,6 +22,7 @@ on singular inputs, and are caught by the lpj reset clamping downstream.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -35,9 +36,13 @@ def _next_pow2(n: int) -> int:
 def _pd_inv_logdet_pow2(A):
     """[..., h, h] PD with h a power of two -> (A^-1, logdet)."""
     h = A.shape[-1]
+    # log|.| rather than log(.): matches the reference's use of
+    # slogdet()[1] (log|det|, sign ignored — sssc.py:284,293), so mildly
+    # indefinite matrices (possible for the learned Psi) yield finite
+    # values instead of NaN
     if h == 1:
         a = A[..., 0, 0]
-        return (1.0 / a)[..., None, None], jnp.log(a)
+        return (1.0 / a)[..., None, None], jnp.log(jnp.abs(a))
     if h == 2:
         a = A[..., 0, 0]
         b = A[..., 0, 1]
@@ -50,7 +55,7 @@ def _pd_inv_logdet_pow2(A):
             )
             / det[..., None, None]
         )
-        return inv, jnp.log(det)
+        return inv, jnp.log(jnp.abs(det))
     m = h // 2
     A11 = A[..., :m, :m]
     B = A[..., :m, m:]
@@ -64,6 +69,30 @@ def _pd_inv_logdet_pow2(A):
     top = jnp.concatenate([TL, -C], axis=-1)
     bot = jnp.concatenate([-jnp.swapaxes(C, -1, -2), invS], axis=-1)
     return jnp.concatenate([top, bot], axis=-2), ld1 + ld2
+
+
+def equilibrated_pd_inverse(A, rel_ridge: float = 0.0):
+    """Inverse of a symmetric PSD matrix [..., H, H], numerically hardened
+    for f32 on TPU:
+
+      1. optional relative Tikhonov ridge (rel_ridge * mean diag) — makes
+         near-singular sufficient-statistic matrices (e.g. units that never
+         activated) behave like the reference's pinv fallback instead of
+         producing garbage,
+      2. Jacobi equilibration D A D with D = diag(A)^(-1/2), which brings the
+         matrix to unit diagonal before the Schur recursion (the raw
+         sufficient-statistics matrices can be conditioned like N^2).
+    """
+    H = A.shape[-1]
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    if rel_ridge:
+        ridge = rel_ridge * jnp.mean(diag, axis=-1)[..., None]
+        A = A + ridge[..., None] * jnp.eye(H, dtype=A.dtype)
+        diag = diag + ridge
+    d = 1.0 / jnp.sqrt(jnp.maximum(diag, jnp.finfo(A.dtype).tiny))
+    An = A * d[..., :, None] * d[..., None, :]
+    inv_n, _ = pd_inverse_logdet(An)
+    return inv_n * d[..., :, None] * d[..., None, :]
 
 
 def pd_inverse_logdet(A):
@@ -81,7 +110,11 @@ def pd_inverse_logdet(A):
         A = jnp.concatenate(
             [jnp.concatenate([A, z1], -1), jnp.concatenate([z2, eye], -1)], -2
         )
-    inv, ld = _pd_inv_logdet_pow2(A)
+    # TPU f32 matmuls run reduced-precision bf16 passes by default, which
+    # wrecks Schur complements of large-magnitude matrices (observed: NaN
+    # pivots and garbage inverses at Gram scales ~1e5); force true-f32
+    with jax.default_matmul_precision("high"):
+        inv, ld = _pd_inv_logdet_pow2(A)
     if P != H:
         inv = inv[..., :H, :H]
     return inv, ld

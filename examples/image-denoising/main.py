@@ -29,6 +29,10 @@ def patch_parser():
     p.add_argument("--patch_height", type=int, default=5, help="Patch height")
     p.add_argument("--patch_width", type=int, default=None,
                    help="Patch width (defaults to patch_height)")
+    p.add_argument("--no_dc_center", dest="dc_center", action="store_false",
+                   default=True,
+                   help="Disable per-patch DC centering (reference-style raw "
+                        "patches; requires f64-grade numerics for es3c)")
     return p
 
 
