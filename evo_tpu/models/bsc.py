@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from evo_tpu.models.base import Data, StepStats, block_gram
 from evo_tpu.ops.bitpack import pack_bits_u8, unpack_bits_u8
 from evo_tpu.ops.numerics import (
+    eps_lpj,
     free_energy_from_lpj,
     posterior_weights,
     reset_lpj,
@@ -176,7 +177,13 @@ class BSC:
         else:
             sum_d = N * self.D
             ljc = self.H * jnp.log(1.0 - p.pi) - self.D / 2 * log2pis
-        return dict(pre1=pre1, pil_bar=pil_bar, piH=piH, ljc=ljc, N=N, sum_d=sum_d)
+        vmask = valid[..., None].astype(dt)
+        if data.incomplete:
+            sum_d_y2 = jnp.sum(data.x_infr.astype(dt) * data.y**2 * vmask)
+        else:
+            sum_d_y2 = jnp.sum(data.y**2 * vmask)
+        return dict(pre1=pre1, pil_bar=pil_bar, piH=piH, ljc=ljc, N=N,
+                    sum_d=sum_d, sum_d_y2=sum_d_y2)
 
     @staticmethod
     def _lpj_one(states, G_n, Wty_n, y2_n, pre1, pil_bar):
@@ -318,10 +325,16 @@ class BSC:
             Wp = jnp.einsum("bh,bd->hd", rho, y_m)
             Wq = jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf)
             # sigma: sum_s r * ||m.*(y - Ws)||^2 recovered from the lpj
-            # (residual^2 = (lpj - pil_bar*|s|)/pre1) + allzero term
+            # (residual^2 = (lpj - pil_bar*|s|)/pre1) + allzero term.
+            # Reset-clamped lpj values (floor = finfo.min) would poison this
+            # reconstruction — mask them (their posterior weight is ~0) and
+            # clip to the physical range
             s_abs = jnp.sum(sf, axis=-1)  # [B, S]
-            resid2 = (lpj_full[:, S_perm:] - pre["pil_bar"] * s_abs) / pre["pre1"]
-            sig = jnp.sum(rs * resid2)
+            lpj_s = lpj_full[:, S_perm:]
+            ok = lpj_s > 0.5 * jnp.asarray(eps_lpj(dt), dt)
+            resid2 = jnp.clip((lpj_s - pre["pil_bar"] * s_abs) / pre["pre1"],
+                              0.0, None)
+            sig = jnp.sum(jnp.where(ok, rs * resid2, 0.0))
             if cfg.allzero:
                 sig = sig + jnp.sum(r[:, 0] * y2_b)
 
@@ -401,11 +414,16 @@ class BSC:
 
         if "sigma" in self.to_learn:
             if data.incomplete:
-                dt = params.W.dtype
                 corr = pre["sum_d"] * params.sigma**2
-                new["sigma"] = jnp.sqrt((acc["sigma"] + corr) / N / D)
+                sigma_new = jnp.sqrt((acc["sigma"] + corr) / N / D)
             else:
-                new["sigma"] = jnp.sqrt(acc["sigma"] / N / D)
+                sigma_new = jnp.sqrt(acc["sigma"] / N / D)
+            # degenerate-fit guard: overcomplete models (H >= D) can drive
+            # sigma -> 0 (exact interpolation), which f32 lpj cannot
+            # represent (the f64 reference merely limps longer); floor at a
+            # fraction of the data RMS
+            rms = jnp.sqrt(pre["sum_d_y2"] / jnp.maximum(pre["sum_d"], 1.0))
+            new["sigma"] = jnp.maximum(sigma_new, 1e-3 * rms)
 
         return BSCParams(W=new["W"], pi=new["pi"], sigma=new["sigma"], pies=new["pies"])
 
