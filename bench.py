@@ -117,6 +117,33 @@ def main():
     epoch_s = float(np.median(times))
     lpj_evals = N * (S + N_PARENTS * N_CHILDREN * N_GENERATIONS)
     baseline_s = load_baseline()
+    # secondary metric (stderr only; driver consumes the single stdout line):
+    # SSSC epoch at denoising scale
+    try:
+        from evo_tpu.models.sssc import SSSC
+
+        Hs, Ss, Ds, NBs, Bs = 32, 20, 25, 4, 4096
+        Ns = NBs * Bs
+        Ys = (rng.random((Ns, Hs)) <= 2 / Hs).astype(np.float32) @ \
+            rng.standard_normal((Ds, Hs)).astype(np.float32).T \
+            + rng.standard_normal((Ns, Ds)).astype(np.float32)
+        smodel = SSSC(D=Ds, H=Hs)
+        sdata = make_data(Ys, n_blocks=NBs)
+        scfg, sestate = init_states(N=Ns, S=Ss, H=Hs, no_parents=10,
+                                    no_children=1, no_generations=1,
+                                    n_blocks=NBs, seed=0)
+        sparams = smodel.standard_init(sdata, seed=0, y_host=Ys)
+        sp, se, _, _ = smodel.em_step(sparams, sestate, sdata,
+                                      jax.random.key(0), scfg)
+        jax.block_until_ready(se.lpj)
+        t0 = time.time()
+        sp, se, _, _ = smodel.em_step(sp, se, sdata, jax.random.key(1), scfg)
+        jax.block_until_ready(se.lpj)
+        print(f"secondary: sssc_em_epoch_time_N16k_H32_S20 = "
+              f"{time.time()-t0:.3f}s", file=sys.stderr)
+    except Exception as e:  # never break the primary metric
+        print(f"secondary sssc metric failed: {e}", file=sys.stderr)
+
     result = {
         "metric": "bsc_em_epoch_time_N102k_H256_S64",
         "value": epoch_s,

@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from evo_tpu.utils.datalog import DataLog, StoreToH5, TextPrinter
+from evo_tpu.utils.datalog import DataLog, StoreToH5
 
 
 def apply_platform_env():

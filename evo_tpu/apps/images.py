@@ -7,7 +7,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import jax
 
 from evo_tpu.apps.common import (apply_platform_env, params_to_dict,
                                  setup_experiment, warm_d2h_async)

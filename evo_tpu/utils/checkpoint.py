@@ -12,7 +12,6 @@ for `params`.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Tuple
 
 import numpy as np
