@@ -136,3 +136,28 @@ def test_exact_estep_mode_monotone():
     F_exact_before = float(model.exact_free_energy(params, data))
     _, _, stats, _ = model.em_step(params, estate, data, jax.random.key(0), cfg)
     np.testing.assert_allclose(float(stats.F), F_exact_before, rtol=1e-5)
+
+
+def test_overcomplete_degenerate_fit_stays_finite():
+    """H >= D lets BSC interpolate exactly (sigma -> 0, the MLE is
+    degenerate); the data-RMS sigma floor must keep lpj representable and
+    training finite in f32 (the f64 reference merely limps longer)."""
+    N, D, H = 96, 9, 16
+    rng = np.random.default_rng(0)
+    W_true = rng.normal(size=(D, H))
+    s = rng.random((N, H)) < 0.2
+    Y = s @ W_true.T + rng.normal(scale=1e-3, size=(N, D))  # near-noiseless
+    model = BSC(D=D, H=H)
+    data = make_data(Y)
+    cfg, estate = init_states(N=N, S=12, H=H, no_parents=6, no_children=2,
+                              no_generations=1)
+    params = model.standard_init(data, seed=0)
+    Fs = []
+    for e in range(12):
+        params, estate, stats, _ = model.em_step(
+            params, estate, data, jax.random.fold_in(jax.random.key(5), e), cfg)
+        Fs.append(float(stats.F))
+    assert np.isfinite(np.asarray(params.W)).all()
+    assert float(params.sigma) > 0
+    rms = float(np.sqrt((Y**2).mean()))
+    assert float(params.sigma) >= 1e-3 * rms * 0.99
