@@ -52,6 +52,9 @@ def main():
     from evo_tpu.models.base import make_data
     from evo_tpu.variational.state_init import init_states
 
+    from evo_tpu.parallel import init_distributed
+
+    init_distributed()  # no-op single-process; multi-host via env config
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 

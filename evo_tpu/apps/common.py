@@ -21,12 +21,21 @@ from evo_tpu.utils.datalog import DataLog, StoreToH5
 def apply_platform_env():
     """Honor EVO_PLATFORM=cpu|tpu|axon: the axon TPU plugin ignores the
     JAX_PLATFORMS env var, so jax.config.update is the only reliable switch
-    (useful to run examples on CPU while a TPU is attached)."""
+    (useful to run examples on CPU while a TPU is attached).
+
+    Also brings up the multi-process runtime when one is configured
+    (JAX_COORDINATOR_ADDRESS in the environment — see
+    evo_tpu/parallel/distributed.py); the platform choice must land before
+    jax.distributed.initialize touches the backend, hence both live here."""
     plat = os.environ.get("EVO_PLATFORM")
     if plat:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+    from evo_tpu.parallel import init_distributed
+
+    init_distributed()
 
 
 def merge_dict(*dicts):

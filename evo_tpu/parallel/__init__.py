@@ -6,3 +6,11 @@ from evo_tpu.parallel.mesh import (  # noqa: F401
     pprint,
     gather_to_host,
 )
+from evo_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    make_global_array,
+    make_global_data,
+    distribute_tree,
+    distribute_estate,
+    gather_global,
+)

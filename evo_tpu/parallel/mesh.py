@@ -74,7 +74,10 @@ def pprint(*args, **kwargs):
 
 
 def gather_to_host(x) -> np.ndarray:
-    """Fetch a (possibly sharded) array to host memory (reference
-    gather_from_processes, parallel.py:154-173).  In multi-process settings
-    use jax.experimental.multihost_utils.process_allgather instead."""
-    return np.asarray(jax.device_get(x))
+    """Fetch the FULL global value of a (possibly multi-process sharded)
+    array to host memory (reference gather_from_processes,
+    parallel.py:154-173): process_allgather across hosts when multi-process,
+    a plain device transfer otherwise."""
+    from evo_tpu.parallel.distributed import gather_global
+
+    return gather_global(x)

