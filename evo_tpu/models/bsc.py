@@ -47,7 +47,7 @@ from evo_tpu.ops.numerics import (
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states
 from evo_tpu.variational.state_init import EState, full_state_matrix
-from evo_tpu.variational.varykn import vary_Kn
+from evo_tpu.variational.varykn import vary_Kn, vary_Kn_whole_set
 from evo_tpu.ops.pallas_lpj import bsc_lpj_pallas, pallas_lpj_applicable
 
 PARAM_TOL = 1e-5  # reference noise_policy bounds (_models.py:47-52)
@@ -219,11 +219,19 @@ class BSC:
             n_uni = jnp.zeros((), jnp.int32)
             n_sub = jnp.zeros((), jnp.int32)
         else:
-            children, child_lpj, new_unique = evolve_states(
+            children, child_lpj, new_unique, child_lpj_raw = evolve_states(
                 key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
             )
-            ss2, lpj2, n_sub, _ = vary_Kn(ss_n, lpj_K, children, child_lpj, cfg.mprime)
-            n_uni = new_unique.sum()
+            if cfg.unification:
+                ss2, lpj2, n_sub, _ = vary_Kn(
+                    ss_n, lpj_K, children, child_lpj, cfg.mprime
+                )
+                n_uni = new_unique.sum()
+            else:
+                ss2, lpj2, n_uni, n_sub, _ = vary_Kn_whole_set(
+                    ss_n, lpj_K, children, child_lpj_raw, new_unique,
+                    cfg.reject_worse,
+                )
 
         if cfg.allzero:
             lpj0 = pre["pre1"] * y2_n

@@ -47,7 +47,7 @@ from evo_tpu.ops.numerics import posterior_weights, reset_lpj, shifted_logsumexp
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states
 from evo_tpu.variational.state_init import EState, full_state_matrix
-from evo_tpu.variational.varykn import vary_Kn
+from evo_tpu.variational.varykn import vary_Kn, vary_Kn_whole_set
 
 PARAM_TOL = 1e-5  # reference noise_policy bounds (sssc.py:40,51-58)
 EPS_W = 5e-5
@@ -312,13 +312,19 @@ class SSSC:
                 n_sub = jnp.zeros((), jnp.int32)
                 idx = jnp.arange(cfg.S)
             else:
-                children, child_lpj, new_unique = evolve_states(
+                children, child_lpj, new_unique, child_lpj_raw = evolve_states(
                     key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
                 )
-                ss2, lpj2, n_sub, idx = vary_Kn(
-                    ss_n, lpj_K, children, child_lpj, cfg.mprime
-                )
-                n_uni = new_unique.sum()
+                if cfg.unification:
+                    ss2, lpj2, n_sub, idx = vary_Kn(
+                        ss_n, lpj_K, children, child_lpj, cfg.mprime
+                    )
+                    n_uni = new_unique.sum()
+                else:
+                    ss2, lpj2, n_uni, n_sub, idx = vary_Kn_whole_set(
+                        ss_n, lpj_K, children, child_lpj_raw, new_unique,
+                        cfg.reject_worse,
+                    )
 
             if cfg.allzero:
                 lpj0 = -0.5 * s2inv * y2_n

@@ -37,6 +37,13 @@ class EAConfig:
     # store the K^(n) state sets bit-packed (uint8, 8x less HBM/checkpoint/
     # transfer); em_step unpacks per block
     packed_states: bool = False
+    # K^(n) merge mode (reference vary_Kn params, utils.py:242-243): the
+    # default unification mode swaps best-new for worst-old; with
+    # unification=False the WHOLE set is replaced by the children — either
+    # unconditionally (reject_worse=False) or only when the summed lpj
+    # improves (reject_worse=True, utils.py:325-335)
+    unification: bool = True
+    reject_worse: bool = True
 
     def __post_init__(self):
         assert self.parent_selection in SELECTIONS, self.parent_selection
@@ -48,6 +55,13 @@ class EAConfig:
         if self.Mprime is not None:
             assert self.Mprime <= self.S
         assert not (self.allzero and self.background)
+        if not self.unification and not self.exact:
+            # whole-set replacement needs exactly S children (the reference's
+            # `states[:, :] = states_new` requires matching shapes)
+            assert self.children_per_gen * self.n_generations == self.S, (
+                "non-unification mode needs n_new == S "
+                f"(got {self.children_per_gen * self.n_generations} != {self.S})"
+            )
 
     @property
     def S_perm(self) -> int:

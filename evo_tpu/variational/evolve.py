@@ -47,9 +47,12 @@ def evolve_states(
     lpj_fn: Callable[[jnp.ndarray], jnp.ndarray],  # [C, H] bool -> [C]
     cfg: EAConfig,
     sparseness,  # pi*H of the current model (dynamic)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (children [T,H] bool, child_lpj [T] with -inf at duplicates,
-    new_unique [T] bool) where T = cfg.n_new."""
+    new_unique [T] bool, child_lpj_raw [T] without the duplicate masking)
+    where T = cfg.n_new.  The raw lpjs feed the whole-set merge mode
+    (vary_Kn_whole_set), which compares summed joints over ALL children
+    exactly as the reference does (utils.py:325-335)."""
     S, H = ss_n.shape
     assert H == cfg.H
     C = cfg.children_per_gen
@@ -72,7 +75,7 @@ def evolve_states(
     off += S
 
     pool_states, pool_lpj = ss_n, lpj_n
-    out_states, out_lpj, out_new = [], [], []
+    out_states, out_lpj, out_new, out_raw = [], [], [], []
 
     for g in range(G):
         kg = jax.random.fold_in(key, g)
@@ -108,6 +111,7 @@ def evolve_states(
         out_states.append(children)
         out_lpj.append(jnp.where(new_unique, child_lpj, NEG_INF))
         out_new.append(new_unique)
+        out_raw.append(child_lpj)
 
         # next generation selects among this generation's children
         # (reference eas.py:226-230)
@@ -116,5 +120,6 @@ def evolve_states(
     children = jnp.concatenate(out_states, axis=0)
     child_lpj = jnp.concatenate(out_lpj, axis=0)
     new_unique = jnp.concatenate(out_new, axis=0)
+    child_lpj_raw = jnp.concatenate(out_raw, axis=0)
     assert children.shape == (T, H)
-    return children, child_lpj, new_unique
+    return children, child_lpj, new_unique, child_lpj_raw

@@ -134,6 +134,8 @@ def init_states(
     n_blocks: int = 1,
     dtype=jnp.float32,
     packed_states: bool = False,
+    unification: bool = True,
+    reject_worse: bool = True,
 ):
     """Build (EAConfig, EState) for a fresh experiment.
 
@@ -162,6 +164,8 @@ def init_states(
         exact=exact,
         n_blocks=n_blocks,
         packed_states=packed_states,
+        unification=unification,
+        reject_worse=reject_worse,
     )
 
     if exact:

@@ -62,3 +62,37 @@ def vary_Kn(
     ss_new = take_rows(jnp.concatenate([ss_n, children], axis=0), idx)
     n_sub = jnp.sum(idx >= S)
     return ss_new, vals, n_sub, idx
+
+
+def vary_Kn_whole_set(
+    ss_n: jnp.ndarray,  # [S, H] bool
+    lpj_n: jnp.ndarray,  # [S]
+    children: jnp.ndarray,  # [S, H] bool — the full replacement set
+    child_lpj_raw: jnp.ndarray,  # [S] — UNMASKED lpjs (duplicates keep theirs)
+    new_unique: jnp.ndarray,  # [S] bool
+    reject_worse: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Non-unification merge (reference utils.py:325-335): replace the ENTIRE
+    K^(n) with the children — unconditionally when reject_worse is False,
+    otherwise only if the summed log-pseudo-joint does not decrease.
+
+    Mirrored reference details: the sum runs over ALL children including
+    duplicates (the reference's lpj_new is the raw evaluated array), a tie
+    accepts the replacement (`<` rejects), and on rejection BOTH counters
+    are zero (utils.py:330-332) even though new uniques were evaluated.
+
+    Returns (ss_new [S,H], lpj_new [S], n_uni, n_sub, idx [S]) — the counter
+    pair comes from here (unlike unification mode) because rejection zeroes
+    it; idx maps into concat(old, children) like vary_Kn's."""
+    S = lpj_n.shape[0]
+    assert children.shape[0] == S, "whole-set mode needs exactly S children"
+    if reject_worse:
+        accept = jnp.sum(child_lpj_raw) >= jnp.sum(lpj_n)
+    else:
+        accept = jnp.ones((), dtype=bool)
+    ss_new = jnp.where(accept, children, ss_n)
+    lpj_new = jnp.where(accept, child_lpj_raw, lpj_n)
+    n = jnp.where(accept, jnp.sum(new_unique, dtype=jnp.int32),
+                  jnp.zeros((), jnp.int32))
+    idx = jnp.where(accept, S + jnp.arange(S), jnp.arange(S))
+    return ss_new, lpj_new, n, n, idx

@@ -31,7 +31,7 @@ def test_evolve_shapes_and_uniqueness(rng):
     cfg = EAConfig(S=S, H=H, n_parents=4, n_children=2, n_generations=3)
     ss = jnp.asarray(make_unique_states(rng, S, H))
     lpj = toy_lpj_fn(ss)
-    children, child_lpj, new_unique = evolve_states(
+    children, child_lpj, new_unique, _raw = evolve_states(
         jax.random.key(0), ss, lpj, toy_lpj_fn, cfg, 2.0
     )
     T = cfg.n_new
@@ -59,7 +59,7 @@ def test_evolve_marks_duplicates_of_K(rng):
     cfg = EAConfig(S=S, H=H, n_parents=2, n_children=3, n_generations=2)
     ss = jnp.asarray(make_unique_states(rng, S, H))
     lpj = toy_lpj_fn(ss)
-    children, child_lpj, new_unique = evolve_states(
+    children, child_lpj, new_unique, _raw = evolve_states(
         jax.random.key(1), ss, lpj, toy_lpj_fn, cfg, 2.0
     )
     cnp, unp = np.asarray(children), np.asarray(new_unique)
@@ -108,3 +108,122 @@ def test_vary_kn_keeps_states_consistent_with_lpj(rng):
     # stored lpj must equal the score of the stored state
     recomputed = np.asarray(toy_lpj_fn(ss2))
     assert np.allclose(recomputed, np.asarray(lpj2), rtol=1e-5)
+
+
+def test_vary_kn_whole_set_reject_worse(rng):
+    """Reference non-unification semantics (utils.py:325-335): whole-set
+    replacement iff the summed lpj does not decrease; both counters zero on
+    rejection."""
+    from evo_tpu.variational.varykn import vary_Kn_whole_set
+
+    S, H = 5, 8
+    old = jnp.asarray(make_unique_states(rng, S, H))
+    lpj_old = jnp.asarray(np.array([10.0, 2.0, 30.0, 4.0, 5.0], np.float32))
+    children = jnp.asarray(make_unique_states(rng, S, H))
+
+    # better set -> accepted wholesale
+    lpj_new = jnp.asarray(np.array([20.0, 3.0, 31.0, 5.0, 6.0], np.float32))
+    uniq = jnp.asarray(np.array([True, True, False, True, True]))
+    ss2, lpj2, nu, ns, idx = vary_Kn_whole_set(old, lpj_old, children,
+                                               lpj_new, uniq, True)
+    np.testing.assert_array_equal(np.asarray(ss2), np.asarray(children))
+    np.testing.assert_array_equal(np.asarray(lpj2), np.asarray(lpj_new))
+    assert int(nu) == 4 and int(ns) == 4
+    np.testing.assert_array_equal(np.asarray(idx), S + np.arange(S))
+
+    # worse set -> rejected, counters zero
+    lpj_worse = jnp.asarray(np.array([1.0, 1.0, 1.0, 1.0, 1.0], np.float32))
+    ss3, lpj3, nu3, ns3, idx3 = vary_Kn_whole_set(old, lpj_old, children,
+                                                  lpj_worse, uniq, True)
+    np.testing.assert_array_equal(np.asarray(ss3), np.asarray(old))
+    np.testing.assert_array_equal(np.asarray(lpj3), np.asarray(lpj_old))
+    assert int(nu3) == 0 and int(ns3) == 0
+    np.testing.assert_array_equal(np.asarray(idx3), np.arange(S))
+
+    # reject_worse=False -> worse set still replaces
+    ss4, lpj4, nu4, _, _ = vary_Kn_whole_set(old, lpj_old, children,
+                                             lpj_worse, uniq, False)
+    np.testing.assert_array_equal(np.asarray(ss4), np.asarray(children))
+    assert int(nu4) == 4
+
+
+def test_vary_kn_whole_set_matches_reference():
+    """Drive the actual reference vary_Kn in non-unification mode on random
+    cases and compare decisions + counters (reference utils.py:231-337)."""
+    import os
+    import sys
+
+    import pytest
+
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "evo")):
+        pytest.skip("reference not available")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from measure_reference_baseline import install_mpi_stub
+
+    install_mpi_stub()
+    sys.path.insert(0, REF)
+    import evo.variational.utils as ref_vutils
+
+    from evo_tpu.variational.varykn import vary_Kn_whole_set
+
+    rng = np.random.default_rng(7)
+    S, H = 6, 9
+    for trial in range(20):
+        old = make_unique_states(rng, S, H)
+        children = make_unique_states(rng, S, H)
+        lpj_old = rng.normal(size=S)
+        lpj_new = rng.normal(size=S) + rng.normal() * 2.0
+        for reject_worse in (True, False):
+            # ---- reference (mutates in place)
+            states_r = old.copy()
+            lpj_buf = np.zeros(S)
+            lo = lpj_old.copy()
+            nu_r, ns_r = ref_vutils.vary_Kn(
+                lpj_old=lo, lpj_new=lpj_new.copy(), lpj=lpj_buf,
+                states=states_r, states_new=children.copy(), H=H, S=S,
+                S_perm=0, incl=np.zeros((0, H), bool), Mprime=S,
+                unification=False, reject_worse=reject_worse,
+            )
+            # ---- ours (new_unique = dedup vs old set, like evolve_states)
+            oldset = {tuple(r.tolist()) for r in old}
+            seen = set(oldset)
+            uniq = []
+            for r in children:
+                k = tuple(r.tolist())
+                uniq.append(k not in seen)
+                seen.add(k)
+            ss2, lpj2, nu, ns, _ = vary_Kn_whole_set(
+                jnp.asarray(old), jnp.asarray(lpj_old),
+                jnp.asarray(children), jnp.asarray(lpj_new),
+                jnp.asarray(uniq), reject_worse,
+            )
+            np.testing.assert_array_equal(np.asarray(ss2), states_r)
+            np.testing.assert_allclose(np.asarray(lpj2), lpj_buf, rtol=1e-6)
+            assert int(nu) == nu_r and int(ns) == ns_r
+
+
+def test_whole_set_em_step_runs_and_counts(rng):
+    """End-to-end: a BSC em_step in non-unification mode trains and the
+    free energy stays finite; reject_worse guarantees F-monotone merges."""
+    from evo_tpu.models import make_data
+    from evo_tpu.models.bsc import BSC
+    from evo_tpu.variational.state_init import init_states
+
+    N, H, D, S = 64, 8, 16, 10
+    model = BSC(D=D, H=H)
+    Y = rng.normal(size=(N, D)).astype(np.float32)
+    data = make_data(Y, n_blocks=2)
+    # n_new must equal S: 10 parents x 1 child x 1 generation = 10 = S
+    cfg, estate = init_states(N=N, S=S, H=H, no_parents=10, no_children=1,
+                              no_generations=1, n_blocks=2, seed=0,
+                              unification=False, reject_worse=True)
+    assert not cfg.unification
+    params = model.standard_init(data, seed=0)
+    F_prev = -np.inf
+    for e in range(5):
+        params, estate, stats, _ = model.em_step(
+            params, estate, data, jax.random.fold_in(jax.random.key(3), e), cfg)
+        assert np.isfinite(float(stats.F))
+    # sanity on counters: S_sub == S_nunique in whole-set mode
+    assert float(stats.S_sub) == float(stats.S_nunique)
