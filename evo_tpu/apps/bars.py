@@ -85,7 +85,9 @@ def run(args) -> dict:
     trainer = EMTrainer(model, cfg, params, estate, data, dlog, outdir,
                         seed=args.seed + 1,
                         checkpoint_every=args.checkpoint_every,
-                        resume=args.resume)
+                        resume=args.resume,
+                        tracefile=getattr(args, "tracefile", None),
+                        device_trace_every=getattr(args, "device_trace_every", 0))
     params, estate, stats = trainer.run(
         args.no_epochs,
         epoch_callback=lambda epoch, F, params, **kw: visualizer.process_epoch(

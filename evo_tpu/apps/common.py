@@ -106,6 +106,12 @@ def experiment_parser(no_epochs=40):
                    help="Save a resumable checkpoint every X epochs (0=off)")
     p.add_argument("--resume", type=str, default=None,
                    help="Path to a checkpoint.npz to resume from")
+    p.add_argument("--tracefile", type=str, default=None,
+                   help="Enable host tracepoints; bare filenames land in the "
+                        "output directory, archived to traces.tgz at the end")
+    p.add_argument("--device_trace_every", type=int, default=0,
+                   help="Capture a jax.profiler device trace of one epoch "
+                        "every X epochs into <outdir>/device_trace (0=off)")
     return p
 
 

@@ -158,7 +158,13 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
     trainer = EMTrainer(model, cfg, params, estate, data, dlog, outdir,
                         seed=args.seed + 1,
                         checkpoint_every=args.checkpoint_every,
-                        resume=args.resume)
+                        resume=args.resume,
+                        # reference image-denoising/main.py:55-61: Theta is
+                        # overwritten (constant-size H5) unless
+                        # --save_theta_all_epochs
+                        theta_append=getattr(args, "save_theta_all_epochs", True),
+                        tracefile=getattr(args, "tracefile", None),
+                        device_trace_every=getattr(args, "device_trace_every", 0))
     params, estate, stats = trainer.run(args.no_epochs,
                                         reconstruct_at=reconstruct_at,
                                         epoch_callback=epoch_callback)

@@ -2,7 +2,21 @@
 
 The reference repeats this loop in every example main.py
 (e.g. examples/bars-test/main.py:156-167); here it is one class that also
-adds checkpoint/resume (a capability the reference lacks, SURVEY §5)."""
+adds checkpoint/resume (a capability the reference lacks, SURVEY §5).
+
+Observability hooks (reference parity):
+  - theta_append=False switches parameter tables to DataLog.assign
+    (overwrite; constant-size training.h5 over any number of epochs) —
+    the reference's default unless --save_theta_all_epochs
+    (reference examples/image-denoising/main.py:55-61).
+  - tracefile enables host tracepoints around every epoch phase
+    (the reference decorates model methods with @tracing.traced,
+    _models.py:101-596; here the phases of the fused jitted step are marked
+    from the host: em_step dispatch+wait, logging, callback, checkpoint).
+  - device_trace_every=N captures a jax.profiler device trace (XLA ops,
+    HBM, MXU utilization) of one epoch every N epochs into
+    <outdir>/device_trace — the TPU-side analog the reference cannot offer.
+"""
 
 from __future__ import annotations
 
@@ -14,24 +28,45 @@ import numpy as np
 import jax
 
 from evo_tpu.apps.common import merge_dict, params_to_dict
+from evo_tpu.utils import tracing
 from evo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 
 
 class EMTrainer:
     def __init__(self, model, cfg, params, estate, data, dlog, outdir: str,
                  seed: int = 0, checkpoint_every: int = 0,
-                 resume: Optional[str] = None):
+                 resume: Optional[str] = None, theta_append: bool = True,
+                 tracefile: Optional[str] = None, device_trace_every: int = 0):
         self.model, self.cfg, self.data = model, cfg, data
         self.params, self.estate = params, estate
         self.dlog, self.outdir = dlog, outdir
         self.checkpoint_every = checkpoint_every
+        self.theta_append = theta_append
+        self.device_trace_every = device_trace_every
         self.start_epoch = 0
         self.key = jax.random.key(seed)
+        self._tracing = bool(tracefile)
+        if tracefile:
+            if not os.path.isabs(tracefile) and os.path.sep not in tracefile:
+                tracefile = os.path.join(outdir, tracefile)
+            tracing.set_tracefile(tracefile)
         if resume:
             self.params, self.estate, self.start_epoch, self.key = load_checkpoint(
                 resume, params_like=self.params
             )
             print(f"Resumed from {resume} at epoch {self.start_epoch}")
+
+    def _log_epoch(self, stats):
+        metrics = {"F": float(stats.F), "S_nunique": float(stats.S_nunique),
+                   "S_sub": float(stats.S_sub)}
+        theta = params_to_dict(self.params)
+        if self.theta_append:
+            self.dlog.append_all(merge_dict(metrics, theta))
+        else:
+            # overwrite mode: training.h5 holds only the latest Theta
+            self.dlog.append_all(metrics)
+            for name, value in theta.items():
+                self.dlog.assign(name, value)
 
     def run(self, no_epochs: int,
             reconstruct_at: Optional[Callable[[int], bool]] = None,
@@ -42,35 +77,53 @@ class EMTrainer:
             t0 = time.time()
             rec = bool(reconstruct_at(e)) if reconstruct_at else False
             key = jax.random.fold_in(self.key, e)
+
+            capture = (self.device_trace_every
+                       and (e + 1) % self.device_trace_every == 0)
+            if capture:
+                profile_dir = os.path.join(self.outdir, "device_trace")
+                jax.profiler.start_trace(profile_dir)
+            tracing.tracepoint("em_step:begin")
             self.params, self.estate, stats, y_rec = self.model.em_step(
                 self.params, self.estate, self.data, key, self.cfg,
                 do_reconstruction=rec,
             )
-            F = float(stats.F)
-            log = merge_dict(
-                {"F": F, "S_nunique": float(stats.S_nunique),
-                 "S_sub": float(stats.S_sub)},
-                params_to_dict(self.params),
-            )
-            self.dlog.append_all(log)
+            F = float(stats.F)  # blocks until the step is done
+            tracing.tracepoint("em_step:end")
+            if capture:
+                jax.profiler.stop_trace()
+                print(f"\tdevice trace -> {profile_dir}")
+
+            tracing.tracepoint("log:begin")
+            self._log_epoch(stats)
+            tracing.tracepoint("log:end")
             for name in ("n_reset_nan", "n_reset_small", "n_reset_inf"):
                 v = int(getattr(stats, name))
                 if v > 0:
                     print(f"\t{name} = {v}")
             if epoch_callback is not None:
+                tracing.tracepoint("epoch_callback:begin")
                 epoch_callback(epoch=e + 1, F=F, params=self.params,
                                stats=stats, y_rec=y_rec)
+                tracing.tracepoint("epoch_callback:end")
             if self.checkpoint_every and (e + 1) % self.checkpoint_every == 0:
+                tracing.tracepoint("checkpoint:begin")
                 path = os.path.join(self.outdir, "checkpoint.npz")
                 save_checkpoint(path, self.params, self.estate, e + 1, self.key)
+                tracing.tracepoint("checkpoint:end")
                 print(f"\tcheckpoint -> {path}")
             print("\tTotal epoch runtime : %.2f s" % (time.time() - t0))
+        if self._tracing:
+            tracing.close(os.path.join(self.outdir, "traces.tgz"))
         return self.params, self.estate, stats
 
 
 def gather_reconstruction(y_rec, N: int) -> np.ndarray:
     """Blocked device reconstruction [nb, B, D] -> host [N, D] (drops
     padding rows); the jax analog of the reference's Gatherv
-    (parallel.py:154-173)."""
-    arr = np.asarray(y_rec)
+    (parallel.py:154-173).  Multi-process sharded arrays come back whole via
+    gather_global."""
+    from evo_tpu.parallel import gather_global
+
+    arr = gather_global(y_rec)
     return arr.reshape(-1, arr.shape[-1])[:N]

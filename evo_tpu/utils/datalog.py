@@ -1,18 +1,25 @@
 """Pub-sub metrics router.
 
-Capability-parity re-implementation of the reference DataLog stack
-(reference: evo/utils/datalog.py): named tables routed to registered handlers
-with a "*" wildcard; `ignored()` lets callers skip expensive collection; and
-`progress()` prints timestamped lines.  Rank-0 gating becomes
+Capability-parity re-implementation of the reference DataLog stack: named
+tables routed to registered handlers with a "*" wildcard, `assign` overwrite
+semantics, `ignored()` to let callers skip expensive collection, and
+`progress()` timestamped lines.  Rank-0 gating becomes
 jax.process_index() == 0 gating (single-controller JAX runs one Python per
 host; all device parallelism is inside the compiled step, so there is far
 less to gate than in the reference's one-process-per-core MPI world).
+
+Provenance note: the PUBLIC API (handler/table policy, method names) is
+intentionally compatible with the reference's evo/utils/datalog.py, which is
+itself derived from the prosper library (https://github.com/ml-uol/prosper,
+Academic Free License v3.0 — see the reference file's own header).  The
+implementation here is written fresh: handlers hold their sink directly (no
+module-global default-table singleton), routing is a dict of compiled match
+lists, and progress bars are percent-based rather than line-filling.
 """
 
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from os.path import isfile
 from time import strftime
 
 from evo_tpu.utils.autotable import AutoTable
@@ -52,27 +59,24 @@ class DataHandler(ABC):
 
 
 class StoreToH5(DataHandler):
-    """Route tables into an HDF5 file via AutoTable."""
+    """Route tables into an HDF5 file via AutoTable.
 
-    default_autotbl = None
+    `destination` is an AutoTable, a filename, or None (AutoTable picks a
+    default name).  Unlike the reference there is no implicit process-wide
+    shared default table; pass the same AutoTable instance explicitly to
+    share a file between handlers."""
 
     def __init__(self, destination=None, warnings: bool = True):
         self.destination = destination
         if not _is_primary():
+            self.autotbl = None
             return
         if isinstance(destination, AutoTable):
             self.autotbl = destination
-        elif isinstance(destination, str):
+        elif isinstance(destination, str) or destination is None:
             self.autotbl = AutoTable(destination, warnings=warnings)
-        elif destination is None:
-            if StoreToH5.default_autotbl is None:
-                self.autotbl = AutoTable(warnings=warnings)
-            else:
-                self.autotbl = StoreToH5.default_autotbl
         else:
-            raise TypeError("expects an AutoTable instance or a filename")
-        if StoreToH5.default_autotbl is None:
-            StoreToH5.default_autotbl = self.autotbl
+            raise TypeError("expects an AutoTable instance, a filename, or None")
 
     def __repr__(self):
         return f"StoreToH5 into file {self.destination}"
@@ -87,28 +91,29 @@ class StoreToH5(DataHandler):
         self.autotbl.assign(tblname, value)
 
     def close(self):
-        self.autotbl.close()
+        if self.autotbl is not None:
+            self.autotbl.close()
 
 
 class StoreToTxt(DataHandler):
-    """Plain-text `name = value` log lines."""
+    """Plain-text `name = value` log lines.  `destination` (a path) is
+    required — refusing to guess avoids silently clobbering files."""
 
-    def __init__(self, destination=None):
+    def __init__(self, destination):
         if not _is_primary():
+            self.txt_file = None
             return
-        if isinstance(destination, str):
-            self.txt_file = open(destination, "w")
-        elif destination is None:
-            if isfile("terminal.txt"):
-                raise ValueError("terminal.txt already exists; pass a filename")
-            self.txt_file = open("terminal.txt", "w")
+        if not isinstance(destination, str):
+            raise TypeError("StoreToTxt needs an output path")
+        self.txt_file = open(destination, "w")
 
     def append(self, tblname, value):
         self.txt_file.write(f"{tblname} = {value}\n")
         self.txt_file.flush()
 
     def close(self):
-        self.txt_file.close()
+        if self.txt_file is not None:
+            self.txt_file.close()
 
 
 class TextPrinter(DataHandler):
@@ -117,6 +122,9 @@ class TextPrinter(DataHandler):
     def append(self, tblname, value):
         if _is_primary():
             print(f"\t{tblname} = {value}")
+
+
+_PROGRESS_BAR_WIDTH = 25
 
 
 class DataLog:
@@ -135,15 +143,18 @@ class DataLog:
         return self._cache[tblname]
 
     def progress(self, message, completed=None):
+        """Timestamped progress line; with `completed` in [0, 1] a
+        fixed-width percent bar is appended."""
         if not _is_primary():
             return
+        stamp = strftime("%H:%M:%S")
         if completed is None:
-            print(f"[{strftime('%H:%M:%S')}] {message}")
+            print(f"[{stamp}] {message}")
         else:
-            totlen = 65 - len(message)
-            bar = int(totlen * completed)
-            print(f"[{strftime('%H:%M:%S')}] {message} "
-                  f"[{'*' * bar}{'-' * (totlen - bar)}]")
+            frac = min(max(float(completed), 0.0), 1.0)
+            filled = round(_PROGRESS_BAR_WIDTH * frac)
+            bar = "#" * filled + "." * (_PROGRESS_BAR_WIDTH - filled)
+            print(f"[{stamp}] {message} |{bar}| {100 * frac:3.0f}%")
 
     def append(self, tblname, value):
         if not _is_primary():
@@ -169,7 +180,7 @@ class DataLog:
 
     def ignored(self, tblname) -> bool:
         """True if appending to `tblname` would reach no handler — callers
-        can skip expensive metric collection (reference datalog.py:213-231)."""
+        can skip expensive metric collection entirely."""
         return self._lookup(tblname) == []
 
     def set_handler(self, tblname, handler_class, *args, **kwargs):

@@ -48,6 +48,8 @@ def experiment_parser():
     p.add_argument("--n_blocks", type=int, default=1)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--tracefile", type=str, default=None)
+    p.add_argument("--device_trace_every", type=int, default=0)
     return p
 
 

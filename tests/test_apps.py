@@ -107,3 +107,71 @@ def test_bars_app_checkpoint_resume(tmp_path):
     out3 = bars.run(_ns(**common, **_common(
         no_epochs=6, output_directory=str(tmp_path / "c"))))
     np.testing.assert_allclose(out2["F"], out3["F"], rtol=1e-6)
+
+
+def test_theta_assign_vs_append_modes(tmp_path):
+    """--save_theta_all_epochs toggles append vs assign (overwrite) for the
+    Theta tables (reference image-denoising/main.py:55-61): without it the
+    H5 holds exactly ONE W row regardless of epoch count; metrics always
+    append."""
+    import h5py
+
+    from evo_tpu.apps.images import run_denoising
+
+    def run(save_all, out):
+        args = _ns(algo="ebsc", clean_image=str(tmp_path / "none.png"),
+                   rescale=0.12, noise_level=25.0, patch_height=4,
+                   patch_width=None, H=8, merge_every=100,
+                   save_theta_all_epochs=save_all,
+                   **_common(no_epochs=3, Ksize=8, no_parents=4,
+                             output_directory=str(tmp_path / out)))
+        return run_denoising(args)
+
+    out_a = run(False, "assign")
+    with h5py.File(os.path.join(out_a["outdir"], "training.h5")) as h5:
+        assert h5["F"].shape[0] == 3          # metrics always append
+        assert h5["W"].shape[0] == 1          # Theta overwritten
+        assert h5["sigma"].shape[0] == 1
+        assert h5["W_init"].shape[0] == 1     # init snapshot unaffected
+
+    out_b = run(True, "append")
+    with h5py.File(os.path.join(out_b["outdir"], "training.h5")) as h5:
+        assert h5["F"].shape[0] == 3
+        assert h5["W"].shape[0] == 3          # Theta per epoch
+
+
+def test_tracefile_flag_produces_trace(tmp_path):
+    """--tracefile makes the trainer emit phase tracepoints and archive them
+    (reference tracing usage: @traced on model methods, _models.py:101-596)."""
+    import tarfile
+
+    from evo_tpu.apps import bars
+
+    args = _ns(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
+               no_data_points=100, pi_gen=None, sigma_gen=1.0,
+               **_common(no_epochs=2,
+                         output_directory=str(tmp_path / "out")))
+    args.tracefile = "trace-%04d.txt"
+    out = bars.run(args)
+    archive = os.path.join(out["outdir"], "traces.tgz")
+    assert os.path.exists(archive)
+    with tarfile.open(archive) as tar:
+        content = tar.extractfile(tar.getmembers()[0]).read().decode()
+    assert content.count("em_step:begin") == 2
+    assert content.count("em_step:end") == 2
+    assert "log:begin" in content
+
+
+def test_device_trace_every_flag(tmp_path):
+    """--device_trace_every captures a jax.profiler trace directory."""
+    from evo_tpu.apps import bars
+
+    args = _ns(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
+               no_data_points=100, pi_gen=None, sigma_gen=1.0,
+               **_common(no_epochs=2,
+                         output_directory=str(tmp_path / "out")))
+    args.device_trace_every = 2
+    out = bars.run(args)
+    trace_dir = os.path.join(out["outdir"], "device_trace")
+    assert os.path.isdir(trace_dir)
+    assert any(os.scandir(trace_dir))  # something was written
