@@ -269,7 +269,22 @@ class BSC:
         free energy of the *updated* K^(n) under the *old* parameters; the
         M-step consumes the merged lpj/ss; with incomplete data the M-step's
         Wp accumulator uses the reconstructed data (bsc.py:185-189).
+
+        Note: with incomplete data AND x != x_infr (re-estimating observed
+        entries), the sigma update recovers the residual from the lpj, i.e.
+        over x_infr entries of the ORIGINAL y; the reference computes it
+        from y_reconstructed (bsc.py:214-217).  Identical when x == x_infr —
+        the inpainting setup and the only configuration the example drivers
+        produce.
         """
+        if data.incomplete and not do_reconstruction:
+            # the reference asserts the same precondition (bsc.py:185-189):
+            # without the reconstruction, missing entries would enter the Wp
+            # accumulator as zeros and silently bias the W update
+            raise ValueError(
+                "incomplete data requires do_reconstruction=True: the M-step "
+                "consumes the reconstructed data for its W update"
+            )
         params = self.check_params(params)
         pre = self._precompute(params, data)
         nb, B = data.y.shape[:2]

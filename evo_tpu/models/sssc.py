@@ -277,7 +277,20 @@ class SSSC:
     ):
         """One fused EM epoch (reference SSSC.EM_step, sssc.py:420-813):
         E-step + expectations + optional reconstruction + M-step in a single
-        jitted scan.  Returns (new_params, new_estate, stats, y_rec|None)."""
+        jitted scan.  Returns (new_params, new_estate, stats, y_rec|None).
+
+        Note: with incomplete data AND x != x_infr, the y2sum fed to the
+        sigma2 update is over x_infr entries of the ORIGINAL y, where the
+        reference uses y_reconstructed (sssc.py:744-770).  Identical when
+        x == x_infr (the inpainting setup, and what the drivers produce).
+        """
+        if data.incomplete and not do_reconstruction:
+            # mirror of the reference's precondition (sssc.py:630-634 uses
+            # the reconstruction in the M-step; bsc.py:185-189 asserts it)
+            raise ValueError(
+                "incomplete data requires do_reconstruction=True: the M-step "
+                "consumes the reconstructed data for its W update"
+            )
         params = self.check_params(params)
         pre = self._precompute(params, data)
         nb, B = data.y.shape[:2]

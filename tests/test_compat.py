@@ -71,3 +71,52 @@ def test_compat_exact_free_energy_matches_core():
                        sigma=jnp.asarray(1.0), pies=jnp.full((H,), 0.2))
     F2 = float(core.exact_free_energy(params, make_data(Y)))
     np.testing.assert_allclose(F1, F2, rtol=1e-6)
+
+
+def test_compat_data_cache_sees_inplace_mutation():
+    """In-place mutation of my_data['y'] (or swapping the mask) between
+    steps must be picked up — the reference dict API reads y/x fresh every
+    step (ADVICE r1: the cache was keyed on id(y) and went stale)."""
+    H, S, N, D = 4, 8, 40, 6
+    rng = np.random.default_rng(1)
+    Y = rng.normal(size=(N, D)) + 1.0
+    my_data = {"y": Y}
+
+    model = BSC(D, H, S)
+    theta = model.check_params(model.standard_init(my_data, seed=0))
+    my_suff_stat = init_states(N, S, H, "fit", "randflip", 4, 1, 1, seed=0)
+    F1, _, _, _ = model.step(dict(theta), dict(my_suff_stat, estate=my_suff_stat["estate"]), my_data)
+
+    # same object id, different content -> must change the result
+    Y *= 3.0
+    my_suff_stat2 = init_states(N, S, H, "fit", "randflip", 4, 1, 1, seed=0)
+    F2, _, _, _ = model.step(dict(theta), my_suff_stat2, my_data)
+    assert F1 != F2
+
+    # and back to the original content -> original result (same estate/seed)
+    Y /= 3.0
+    my_suff_stat3 = init_states(N, S, H, "fit", "randflip", 4, 1, 1, seed=0)
+    F3, _, _, _ = model.step(dict(theta), my_suff_stat3, my_data)
+    assert F1 == F3
+
+
+def test_incomplete_without_reconstruction_raises():
+    """Mirror of the reference's assert (bsc.py:185-189): training on
+    incomplete data without do_reconstruction would silently bias W."""
+    import jax as _jax
+    import pytest
+
+    from evo_tpu.models.bsc import BSC as CoreBSC
+    from evo_tpu.models.sssc import SSSC as CoreSSSC
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states as core_init
+
+    N, H, D, S = 16, 4, 5, 6
+    Y = np.random.default_rng(0).normal(size=(N, D))
+    Y[0, 0] = np.nan
+    data = make_data(Y)
+    cfg, estate = core_init(N=N, S=S, H=H, no_parents=3)
+    for model in (CoreBSC(D=D, H=H), CoreSSSC(D=D, H=H)):
+        params = model.standard_init(data, seed=0)
+        with pytest.raises(ValueError, match="do_reconstruction"):
+            model.em_step(params, estate, data, _jax.random.key(0), cfg)
