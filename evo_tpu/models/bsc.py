@@ -45,10 +45,14 @@ from evo_tpu.ops.numerics import (
     reset_lpj,
 )
 from evo_tpu.variational.config import EAConfig
-from evo_tpu.variational.evolve import evolve_states
+from evo_tpu.variational.evolve import evolve_states_block
 from evo_tpu.variational.state_init import EState, full_state_matrix
 from evo_tpu.variational.varykn import vary_Kn, vary_Kn_whole_set
 from evo_tpu.ops.pallas_lpj import bsc_lpj_pallas, pallas_lpj_applicable
+from evo_tpu.ops.pallas_suffstat import (
+    bsc_suffstat_pallas,
+    pallas_suffstat_applicable,
+)
 
 PARAM_TOL = 1e-5  # reference noise_policy bounds (_models.py:47-52)
 
@@ -196,56 +200,67 @@ class BSC:
 
     # ---------------------------------------------------------------- E-step
 
-    def _estep_one(self, key_n, ss_n, G_n, Wty_n, y2_n, pre, cfg: EAConfig,
-                   lpj_K=None):
-        """Full evolutionary E-step for one datapoint (vmapped over B).
+    def _estep_block(self, keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, pre,
+                     cfg: EAConfig, incomplete: bool):
+        """Full evolutionary E-step for one row-block [B, ...].
 
         Mirrors the reference E_step body (_models.py:497-535): evaluate lpj
-        of the current K^(n) (optionally precomputed at block level by the
-        Pallas kernel), evolve new candidates, merge via vary_Kn.
+        of the current K^(n), evolve new candidates, merge via vary_Kn — but
+        structured block-level so both the K-state and per-generation
+        children evaluations run through the fused Pallas kernel (or one
+        batched einsum) instead of per-datapoint GEMVs.
         """
-        reset_counts = []
+        B = ss_b.shape[0]
+        g_axis = 0 if incomplete else None
 
-        def lpj_fn(states):
-            lpj = self._lpj_one(states, G_n, Wty_n, y2_n, pre["pre1"], pre["pil_bar"])
-            lpj, counts = reset_lpj(lpj)
-            reset_counts.append(counts)
-            return lpj
-
-        if lpj_K is None:
-            lpj_K = lpj_fn(ss_n)
-        if cfg.exact:
-            ss2, lpj2 = ss_n, lpj_K
-            n_uni = jnp.zeros((), jnp.int32)
-            n_sub = jnp.zeros((), jnp.int32)
-        else:
-            children, child_lpj, new_unique, child_lpj_raw = evolve_states(
-                key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
+        def lpj_block(states_b):
+            """[B, K, H] -> ([B, K] reset-clamped lpj, reset counts)."""
+            K = states_b.shape[1]
+            use_pallas = self.lpj_kernel == "pallas" or (
+                self.lpj_kernel == "auto"
+                and pallas_lpj_applicable(B, K, self.H, incomplete)
+                and Wty_b.dtype == jnp.float32
             )
-            if cfg.unification:
-                ss2, lpj2, n_sub, _ = vary_Kn(
-                    ss_n, lpj_K, children, child_lpj, cfg.mprime
-                )
-                n_uni = new_unique.sum()
+            if use_pallas:
+                lpj = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
+                                     pre["pre1"], pre["pil_bar"])
             else:
-                ss2, lpj2, n_uni, n_sub, _ = vary_Kn_whole_set(
-                    ss_n, lpj_K, children, child_lpj_raw, new_unique,
-                    cfg.reject_worse,
-                )
+                lpj = jax.vmap(
+                    self._lpj_one, in_axes=(0, g_axis, 0, 0, None, None)
+                )(states_b, G_b, Wty_b, y2_b, pre["pre1"], pre["pil_bar"])
+            return reset_lpj(lpj, valid=valid_b)
+
+        lpj_K, counts0 = lpj_block(ss_b)
+        all_counts = [counts0]
+
+        if cfg.exact:
+            ss2, lpj2 = ss_b, lpj_K
+            n_uni = jnp.zeros((B,), jnp.int32)
+            n_sub = jnp.zeros((B,), jnp.int32)
+        else:
+            children, child_lpj, new_unique, child_lpj_raw, aux = (
+                evolve_states_block(keys_b, ss_b, lpj_K, lpj_block, cfg,
+                                    pre["piH"])
+            )
+            all_counts.extend(aux)
+            if cfg.unification:
+                ss2, lpj2, n_sub, _ = jax.vmap(
+                    vary_Kn, in_axes=(0, 0, 0, 0, None)
+                )(ss_b, lpj_K, children, child_lpj, cfg.mprime)
+                n_uni = new_unique.sum(axis=1).astype(jnp.int32)
+            else:
+                ss2, lpj2, n_uni, n_sub, _ = jax.vmap(
+                    vary_Kn_whole_set, in_axes=(0, 0, 0, 0, 0, None)
+                )(ss_b, lpj_K, children, child_lpj_raw, new_unique,
+                  cfg.reject_worse)
 
         if cfg.allzero:
-            lpj0 = pre["pre1"] * y2_n
-            lpj_full = jnp.concatenate([lpj0[None], lpj2])
+            lpj0 = pre["pre1"] * y2_b
+            lpj_full = jnp.concatenate([lpj0[:, None], lpj2], axis=1)
         else:
             lpj_full = lpj2
 
-        if reset_counts:
-            counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
-        else:
-            from evo_tpu.ops.numerics import LpjResetCounts
-
-            zero = jnp.zeros((), jnp.int32)
-            counts = LpjResetCounts(zero, zero, zero)
+        counts = jax.tree.map(lambda *xs: sum(xs), *all_counts)
         return ss2, lpj_full, n_uni, n_sub, counts
 
     # ---------------------------------------------------------------- epoch
@@ -293,34 +308,23 @@ class BSC:
         W = params.W
 
         keys = jax.random.split(key, nb * B).reshape(nb, B)
-        G_shared = None if data.incomplete else W.T @ W
 
-        use_pallas = self.lpj_kernel == "pallas" or (
-            self.lpj_kernel == "auto"
-            and pallas_lpj_applicable(B, cfg.S, self.H, data.incomplete)
+        use_suffstat = (
+            self.lpj_kernel in ("auto", "pallas")
+            and pallas_suffstat_applicable(B, cfg.S, self.H)
             and dt == jnp.float32
         )
 
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
             if cfg.packed_states:
-                ss_b = unpack_bits_u8(ss_b, self.H)
+                ss_b = unpack_bits_u8(ss_b, self.H).astype(jnp.int8)
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
-            g_axis = 0 if data.incomplete else None
 
-            if use_pallas:
-                lpj_K_b = bsc_lpj_pallas(
-                    ss_b, Wty_b, y2_b, G_b, pre["pre1"], pre["pil_bar"]
-                )
-                lpj_K_b, counts0 = reset_lpj(lpj_K_b, valid=valid_b)
-                lpj_K_axis = 0
-            else:
-                lpj_K_b, counts0, lpj_K_axis = None, None, None
-
-            ss2, lpj_full, n_uni, n_sub, counts = jax.vmap(
-                self._estep_one,
-                in_axes=(0, 0, g_axis, 0, 0, None, None, lpj_K_axis),
-            )(keys_b, ss_b, G_b, Wty_b, y2_b, pre, cfg, lpj_K_b)
+            ss2, lpj_full, n_uni, n_sub, counts = self._estep_block(
+                keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, pre, cfg,
+                data.incomplete,
+            )
 
             vf = valid_b.astype(dt)
             # ---- free energy contribution (post-merge, old params)
@@ -331,12 +335,21 @@ class BSC:
             # ---- responsibilities
             r = posterior_weights(lpj_full) * vf[:, None]  # [B, S_perm+S]
             rs = r[:, S_perm:]  # [B, S]
-            sf = ss2.astype(dt)  # [B, S, H]
-            rho = jnp.einsum("bs,bsh->bh", rs, sf)  # [B, H]
+
+            # ---- M-step state statistics: rho, Wq, |s| — one fused pass
+            # over the bool states where profitable (reference bsc.py:173-223)
+            if use_suffstat:
+                rho, s_abs, Wq = bsc_suffstat_pallas(ss2, rs)
+            else:
+                sf = ss2.astype(dt)  # [B, S, H]
+                rho = jnp.einsum("bs,bsh->bh", rs, sf)  # [B, H]
+                Wq = jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf)
+                s_abs = jnp.sum(sf, axis=-1)  # [B, S]
 
             # ---- reconstruction (posterior-predictive mean,
             #      reference _models.py:614-665)
             if do_reconstruction:
+                sf = ss2.astype(dt)
                 means = jnp.einsum("bsh,dh->bsd", sf, W)  # [B, S, D]
                 est = jnp.einsum("bs,bsd->bd", rs, means)
                 y_rec = jnp.where(x_b, y_b, est)
@@ -346,13 +359,11 @@ class BSC:
             # ---- M-step accumulators (reference bsc.py:173-223)
             y_m = y_rec if (data.incomplete and do_reconstruction) else y_b
             Wp = jnp.einsum("bh,bd->hd", rho, y_m)
-            Wq = jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf)
             # sigma: sum_s r * ||m.*(y - Ws)||^2 recovered from the lpj
             # (residual^2 = (lpj - pil_bar*|s|)/pre1) + allzero term.
             # Reset-clamped lpj values (floor = finfo.min) would poison this
             # reconstruction — mask them (their posterior weight is ~0) and
             # clip to the physical range
-            s_abs = jnp.sum(sf, axis=-1)  # [B, S]
             lpj_s = lpj_full[:, S_perm:]
             ok = lpj_s > 0.5 * jnp.asarray(eps_lpj(dt), dt)
             resid2 = jnp.clip((lpj_s - pre["pil_bar"] * s_abs) / pre["pre1"],
@@ -370,12 +381,8 @@ class BSC:
                 nuni=acc["nuni"] + jnp.sum(n_uni * valid_b, dtype=jnp.int32),
                 nsub=acc["nsub"] + jnp.sum(n_sub * valid_b, dtype=jnp.int32),
                 resets=tuple(
-                    a + jnp.sum(b, dtype=jnp.int32)
-                    + (jnp.asarray(c, jnp.int32) if counts0 is not None else 0)
-                    for a, b, c in zip(
-                        acc["resets"], tuple(counts),
-                        tuple(counts0) if counts0 is not None else (0, 0, 0),
-                    )
+                    a + jnp.asarray(b, jnp.int32)
+                    for a, b in zip(acc["resets"], tuple(counts))
                 ),
             )
             ss_out = pack_bits_u8(ss2) if cfg.packed_states else ss2

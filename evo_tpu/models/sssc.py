@@ -356,7 +356,7 @@ class SSSC:
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
             if cfg.packed_states:
-                ss_b = unpack_bits_u8(ss_b, self.H)
+                ss_b = unpack_bits_u8(ss_b, self.H).astype(jnp.int8)
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
 

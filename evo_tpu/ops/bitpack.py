@@ -36,9 +36,13 @@ def pack_states(ss: jnp.ndarray) -> jnp.ndarray:
     if pad:
         zeros = jnp.zeros(ss.shape[:-1] + (pad,), dtype=ss.dtype)
         ss = jnp.concatenate([ss, zeros], axis=-1)
-    bits = ss.reshape(ss.shape[:-1] + (W, WORD_BITS)).astype(jnp.uint32)
+    # select-then-reduce (not astype-then-multiply): XLA fuses the pred
+    # select into the reduction, where an int->u32 convert of the full
+    # [..., H] array would materialize 4 bytes/bit in HBM
+    bits = ss.reshape(ss.shape[:-1] + (W, WORD_BITS)) != 0
     weights = (jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32)).astype(jnp.uint32)
-    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    return jnp.sum(jnp.where(bits, weights, jnp.uint32(0)), axis=-1,
+                   dtype=jnp.uint32)
 
 
 def pack_bits_u8(ss: jnp.ndarray) -> jnp.ndarray:
@@ -127,12 +131,16 @@ def dup_against(keys: jnp.ndarray, seen_keys: jnp.ndarray, seen_valid: jnp.ndarr
 
 
 def take_rows(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather rows of a boolean matrix [K, H] by indices [M] via a one-hot
-    matmul.  Vmapped dynamic row-gathers lower to very slow code on TPU;
-    the equivalent one-hot contraction runs on the MXU (values are exact:
-    0/1 in bf16 with f32 accumulation)."""
+    """Gather rows of a binary (bool/int8 0-1) matrix [K, H] by indices [M]
+    via a one-hot matmul.  Vmapped dynamic row-gathers lower to very slow
+    code on TPU; the equivalent one-hot contraction runs on the MXU (values
+    are exact: 0/1 in bf16 with f32 accumulation).
+
+    Returns int8 — the framework's device representation for states (bool
+    operands force extra pred<->s8 HBM round-trips around the Pallas
+    kernels; int8 feeds them directly)."""
     K = mat.shape[0]
     oh = jax.nn.one_hot(idx, K, dtype=jnp.bfloat16)  # [M, K]
     out = jnp.dot(oh, mat.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
-    return out > 0.5
+    return (out > 0.5).astype(jnp.int8)

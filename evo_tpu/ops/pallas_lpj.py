@@ -8,13 +8,14 @@ Computes, for a block of datapoints b and all K candidate states per point,
 XLA's einsum lowering materializes the f32 cast of the states [B*K, H] and
 the intermediate t = sf @ G in HBM (~0.5 GB of traffic per 4096-row block at
 the benchmark config).  This kernel keeps both in VMEM: per grid step it
-reads only the int8 states tile (~1 MB), the per-datapoint Wty/y2 slices and
-the shared Gram matrix, runs the [bb*K, H] x [H, H] contraction on the MXU,
-and fuses the quadratic-form epilogue on the VPU.
+reads only the bool states tile, the per-datapoint Wty/y2 slices and the
+shared Gram matrix, casts the states to f32 *in VMEM*, runs the
+[bb*K, H] x [H, H] contraction on the MXU, and fuses the quadratic-form
+epilogue on the VPU.
 
-Used for the complete-data K-state evaluation (the dominant lpj cost); the
-children evaluation and masked (per-datapoint Gram) paths stay on the XLA
-einsum (small K / G too large for VMEM).
+Used for the complete-data K-state evaluation AND the per-generation
+children evaluation (v2); the masked (per-datapoint Gram) path stays on the
+XLA einsum (G too large for VMEM).
 """
 
 from __future__ import annotations
@@ -44,7 +45,9 @@ def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, out_ref):
 @partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
                    interpret: bool = False):
-    """ss: bool/int8 [B, K, H]; Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
+    """ss: int8 0/1 [B, K, H] (the framework's device state representation;
+    bool inputs are cast — int8 avoids the pred->s8 HBM round-trip and the
+    f32 cast happens in VMEM); Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
     (shared Gram, complete data).  Returns lpj f32 [B, K].
 
     Requires B % block_rows == 0; H should be a multiple of 128 for full
@@ -72,7 +75,8 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
             out_specs=pl.BlockSpec((bb, K), lambda i: (i, 0)),
         ),
         interpret=interpret,
-    )(scal, ss.astype(jnp.int8), Wty.astype(jnp.float32),
+    )(scal, ss if ss.dtype == jnp.int8 else ss.astype(jnp.int8),
+      Wty.astype(jnp.float32),
       y2.astype(jnp.float32).reshape(B, 1), G.astype(jnp.float32))
 
 
@@ -87,6 +91,7 @@ def pallas_lpj_applicable(B: int, K: int, H: int, incomplete: bool,
     return (
         B % block_rows == 0
         and H % 128 == 0
-        and K >= 8
+        and K >= 2
+        and (block_rows * K) % 8 == 0
         and vmem < 12 * 2**20
     )

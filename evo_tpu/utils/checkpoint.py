@@ -73,7 +73,10 @@ def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]
         if H == -1:  # stored packed (EAConfig.packed_states)
             ss = jnp.asarray(z["estate_ss_packed"])
         else:
-            ss = unpack_bits_u8(jnp.asarray(z["estate_ss_packed"]), H=H)
+            # int8 = the device representation for unpacked states
+            ss = unpack_bits_u8(
+                jnp.asarray(z["estate_ss_packed"]), H=H
+            ).astype(jnp.int8)
         estate = EState(ss=ss, lpj=jnp.asarray(z["estate_lpj"]))
         epoch = int(z["epoch"])
         key = jax.random.wrap_key_data(jnp.asarray(z["rng_key"]))

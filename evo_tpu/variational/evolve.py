@@ -83,7 +83,7 @@ def evolve_states(
 
         n_par = min(pool_states.shape[0], cfg.n_parents)
         pidx = select_idx(cfg.parent_selection, k_sel, pool_lpj, pool_states.shape[0], n_par)
-        parents = take_rows(pool_states, pidx)
+        parents = take_rows(pool_states, pidx).astype(bool)
 
         # background unit excluded from mutation, then forced back on
         # (reference eas.py:215-219, 236-239)
@@ -95,6 +95,7 @@ def evolve_states(
             children = jnp.concatenate([children_m, bg], axis=1)
         else:
             children = children_m
+        children = children.astype(ss_n.dtype)  # int8 on device (see take_rows)
         assert children.shape == (C, H)
 
         ckeys = dedup_keys(children)
@@ -123,3 +124,98 @@ def evolve_states(
     child_lpj_raw = jnp.concatenate(out_raw, axis=0)
     assert children.shape == (T, H)
     return children, child_lpj, new_unique, child_lpj_raw
+
+
+def evolve_states_block(
+    keys_b: jax.Array,  # [B] PRNG keys (one per datapoint)
+    ss_b: jnp.ndarray,  # [B, S, H] bool — current K^(n) for the block
+    lpj_b: jnp.ndarray,  # [B, S]
+    lpj_fn_block: Callable,  # [B, C, H] bool -> ([B, C], aux)
+    cfg: EAConfig,
+    sparseness,  # pi*H of the current model (dynamic scalar)
+):
+    """Block-level `evolve_states`: numerically identical to
+    ``vmap(evolve_states)`` over the batch (same per-datapoint RNG stream,
+    same dedup bookkeeping), but the children log-pseudo-joints are evaluated
+    ONCE per generation for the whole [B, C, H] batch, so the caller can
+    route the evaluation through an MXU/Pallas kernel instead of a vmapped
+    einsum (which XLA surrounds with layout copies of the f32-cast states).
+
+    ``lpj_fn_block`` returns (lpj [B, C], aux); the aux values (e.g. lpj
+    reset counters) are collected into a list and returned alongside.
+
+    Returns (children [B,T,H], child_lpj [B,T] with -inf at duplicates,
+    new_unique [B,T], child_lpj_raw [B,T], aux_list).
+    """
+    B, S, H = ss_b.shape
+    assert H == cfg.H
+    C = cfg.children_per_gen
+    T = cfg.n_new
+    W = min(n_words(H), 2)
+    mutate = MUTATION_FNS[cfg.mutation_algorithm]
+    cap = cfg.S_perm + S + T
+
+    def init_seen(ss_n):
+        seen_keys = jnp.zeros((cap, W), dtype=jnp.uint32)
+        seen_valid = jnp.zeros((cap,), dtype=bool)
+        if cfg.allzero:
+            zero_key = dedup_keys(jnp.zeros((1, H), dtype=bool))
+            seen_keys = seen_keys.at[0:1].set(zero_key)
+            seen_valid = seen_valid.at[0].set(True)
+        seen_keys = jax.lax.dynamic_update_slice(
+            seen_keys, dedup_keys(ss_n), (cfg.S_perm, 0))
+        seen_valid = jax.lax.dynamic_update_slice(
+            seen_valid, jnp.ones((S,), bool), (cfg.S_perm,))
+        return seen_keys, seen_valid
+
+    seen_keys, seen_valid = jax.vmap(init_seen)(ss_b)
+    pool_states, pool_lpj = ss_b, lpj_b
+    out_states, out_lpj, out_new, out_raw, aux_list = [], [], [], [], []
+
+    for g in range(cfg.n_generations):
+
+        def sel_mut(key_n, pool_s, pool_l):
+            # identical RNG stream to evolve_states: fold_in(key, g) + split
+            kg = jax.random.fold_in(key_n, g)
+            k_sel, k_mut = jax.random.split(kg)
+            n_par = min(pool_s.shape[0], cfg.n_parents)
+            pidx = select_idx(cfg.parent_selection, k_sel, pool_l,
+                              pool_s.shape[0], n_par)
+            parents = take_rows(pool_s, pidx).astype(bool)
+            children_m = mutate(k_mut, parents[:, : cfg.H_mut],
+                                cfg.n_children, sparseness, cfg.bitflip_prob)
+            if cfg.background:
+                bg = jnp.ones((children_m.shape[0], 1), dtype=bool)
+                children_m = jnp.concatenate([children_m, bg], axis=1)
+            return children_m.astype(ss_b.dtype)  # int8 on device
+
+        children = jax.vmap(sel_mut)(keys_b, pool_states, pool_lpj)
+        assert children.shape == (B, C, H)
+        child_lpj, aux = lpj_fn_block(children)
+        aux_list.append(aux)
+
+        off = cfg.S_perm + S + g * C
+
+        def dedup_one(children_n, seen_k, seen_v):
+            ckeys = dedup_keys(children_n)
+            is_dup = dup_against(ckeys, seen_k, seen_v) | dup_within(ckeys)
+            new_unique = ~is_dup
+            seen_k = jax.lax.dynamic_update_slice(seen_k, ckeys, (off, 0))
+            seen_v = jax.lax.dynamic_update_slice(seen_v, new_unique, (off,))
+            return new_unique, seen_k, seen_v
+
+        new_unique, seen_keys, seen_valid = jax.vmap(dedup_one)(
+            children, seen_keys, seen_valid)
+
+        out_states.append(children)
+        out_lpj.append(jnp.where(new_unique, child_lpj, NEG_INF))
+        out_new.append(new_unique)
+        out_raw.append(child_lpj)
+        pool_states, pool_lpj = children, child_lpj
+
+    children = jnp.concatenate(out_states, axis=1)
+    child_lpj = jnp.concatenate(out_lpj, axis=1)
+    new_unique = jnp.concatenate(out_new, axis=1)
+    child_lpj_raw = jnp.concatenate(out_raw, axis=1)
+    assert children.shape == (B, T, H)
+    return children, child_lpj, new_unique, child_lpj_raw, aux_list

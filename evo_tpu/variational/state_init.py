@@ -28,7 +28,9 @@ from evo_tpu.variational.config import EAConfig
 class EState:
     """Per-datapoint truncated posterior state.
 
-    ss:  bool [N, S, H] — the state sets K^(n)
+    ss:  int8 0/1 [N, S, H] — the state sets K^(n) (int8 rather than bool so
+         the Pallas kernels read it without pred<->s8 conversions; uint8
+         [N, S, ceil(H/8)] bit-packed when EAConfig.packed_states)
     lpj: float [N, S_perm + S] — log-pseudo-joints; permanent states first
          (reference layout, _models.py:483-485)
     """
@@ -41,7 +43,9 @@ def full_state_matrix(H: int) -> np.ndarray:
     """All 2^H binary states, ordered by number of ON bits then combination
     order — the reference's `sm` enumeration (utils.py:57-69), used for exact
     E-steps and exact likelihoods (H < 12)."""
-    assert H < 22, "full enumeration too large for H={}".format(H)
+    # the reference asserts H < 12 for the enumeration (utils.py:72); the
+    # row-by-row build below is the practical limit, so mirror that bound
+    assert H < 12, "full enumeration too large for H={}".format(H)
     rows = []
     for g in range(H + 1):
         for comb in combinations(range(H), g):
@@ -197,8 +201,11 @@ def init_states(
     if packed_states:
         ss_dev = jnp.asarray(packed)
     else:
-        ss_dev = jax.jit(unpack_bits_u8, static_argnames="H")(
-            jnp.asarray(packed), H=H_out
-        )
+        # int8 is the device representation for unpacked states (see
+        # ops.bitpack.take_rows): the Pallas kernels consume it directly,
+        # where bool would force pred<->s8 HBM round-trips every epoch
+        ss_dev = jax.jit(
+            lambda p: unpack_bits_u8(p, H=H_out).astype(jnp.int8)
+        )(jnp.asarray(packed))
     estate = EState(ss=ss_dev, lpj=lpj)
     return cfg, estate

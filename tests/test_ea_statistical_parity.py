@@ -1,0 +1,143 @@
+"""EA-mode statistical parity against the actual reference implementation.
+
+Exact-mode tests (test_reference_parity.py) prove the EM algebra is
+identical; the EA modes are stochastic with *different but equidistributed*
+samplers (Gumbel-top-k vs np.random.choice, vectorized mutations vs the
+reference's sequencing, fixed-shape dup->-inf masking vs dropping).  These
+tests verify the deviation is free-energy-neutral in practice: a seeds
+ensemble of full bars-test trainings, per operator, must land the final free
+energy of evo_tpu within tolerance of the reference's (reference operators:
+eas.py:46-135; generation loop eas.py:221-311).
+
+Covers the two operator families the round-1 head-to-head tests missed
+(sparseflip and cross_sparseflip) and a multi-generation (n_generations=3)
+configuration, which exercises the documented sampler-only deviation in
+evolve_states (next-gen parents selected from all children with true lpjs
+vs the reference's unique-children pool, evolve.py:114).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "evo")),
+                       reason="reference not available"),
+]
+
+H, N, S, EPOCHS = 8, 300, 20, 25
+SEEDS = (0, 1, 2)
+P_BF = 2.0 / H  # bitflip probability for the sparseness-driven operators
+
+
+@pytest.fixture(scope="module")
+def bars_problem():
+    """Shared bars data + shared W0 so runs differ only in EA randomness."""
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.models.bsc import BSC, BSCParams
+    from evo_tpu.models.base import make_data
+    from evo_tpu.utils.bars import generate_bars_dict
+
+    D = (H // 2) ** 2
+    model = BSC(D=D, H=H)
+    W_gen = 10.0 * generate_bars_dict(H)
+    params_gen = BSCParams(
+        W=jnp.asarray(W_gen, jnp.float32),
+        pi=jnp.asarray(2.0 / H, jnp.float32),
+        sigma=jnp.asarray(1.0, jnp.float32),
+        pies=jnp.full((H,), 2.0 / H, jnp.float32),
+    )
+    Y = np.asarray(model.generate_data(jax.random.key(0), params_gen, N)["y"],
+                   np.float64)
+    L_gen = float(model.exact_free_energy(params_gen, make_data(Y)))
+
+    # data-mean init (same formula as both standard_inits), known-good seed
+    ymean = Y.mean(0)
+    sig0 = float(np.sqrt(((Y - ymean) ** 2).mean(0).sum() / D))
+    W0 = ymean[:, None] + np.random.default_rng(4).normal(
+        scale=sig0 / 4, size=(D, H))
+    return dict(D=D, Y=Y, W0=W0, sig0=sig0, L_gen=L_gen)
+
+
+def _run_reference(prob, operator, n_generations, seed):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from measure_reference_baseline import install_mpi_stub
+
+    install_mpi_stub()
+    sys.path.insert(0, REF)
+    from evo.models import BSC as RefBSC
+    from evo.variational.utils import init_states as ref_init_states
+
+    D, Y = prob["D"], prob["Y"]
+    np.random.seed(seed)
+    model = RefBSC(D, H, S)
+    theta = {"W": prob["W0"].copy(), "pi": 1.0 / H, "sigma": prob["sig0"]}
+    suff = ref_init_states(N, S, H, "fit", operator, 10, 1, n_generations,
+                           bitflip_prob=P_BF)
+    data = {"y": Y.copy(), "x_infr": np.ones((N, D), bool)}
+    F = None
+    for _ in range(EPOCHS):
+        F, _, _, theta = model.step(theta, suff, data)
+    return float(F)
+
+
+def _run_evo_tpu(prob, operator, n_generations, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.models.bsc import BSC, BSCParams
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states
+
+    D, Y = prob["D"], prob["Y"]
+    model = BSC(D=D, H=H)
+    params = BSCParams(W=jnp.asarray(prob["W0"], jnp.float32),
+                       pi=jnp.asarray(1.0 / H), sigma=jnp.asarray(prob["sig0"]),
+                       pies=jnp.full((H,), 1.0 / H))
+    data = make_data(Y)
+    cfg, estate = init_states(
+        N=N, S=S, H=H, mutation_algorithm=operator, no_parents=10,
+        no_children=1, no_generations=n_generations, bitflip_prob=P_BF,
+        seed=seed,
+    )
+    F = None
+    for e in range(EPOCHS):
+        params, estate, stats, _ = model.em_step(
+            params, estate, data, jax.random.fold_in(jax.random.key(seed), e),
+            cfg)
+        F = float(stats.F)
+    return F
+
+
+@pytest.mark.parametrize("operator,n_generations", [
+    ("sparseflip", 1),
+    ("cross_sparseflip", 3),  # multi-generation: exercises the next-gen
+    #                           parent-pool sampler deviation head-to-head
+])
+def test_ea_mode_final_free_energy_distributional(bars_problem, operator,
+                                                  n_generations):
+    F_ref = [_run_reference(bars_problem, operator, n_generations, s)
+             for s in SEEDS]
+    F_evo = [_run_evo_tpu(bars_problem, operator, n_generations, s)
+             for s in SEEDS]
+
+    L_gen = bars_problem["L_gen"]
+    assert np.isfinite(F_ref).all() and np.isfinite(F_evo).all()
+    # no run may exceed the exact likelihood of the generating parameters
+    # by more than f32 slack (free energy is a lower bound at the optimum;
+    # slightly above L_gen is possible for non-generating optima, so the
+    # real assertions are the distributional ones below)
+    mean_ref, mean_evo = float(np.mean(F_ref)), float(np.mean(F_evo))
+    # evo_tpu must not be statistically worse than the reference
+    spread = max(np.std(F_ref), np.std(F_evo), 0.5)
+    assert mean_evo >= mean_ref - 2.0 * spread, (F_evo, F_ref)
+    # and both must have actually learned (far above the data-mean init,
+    # in the vicinity of L_gen)
+    assert mean_ref > L_gen - 25.0, (F_ref, L_gen)
+    assert mean_evo > L_gen - 25.0, (F_evo, L_gen)
