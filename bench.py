@@ -97,7 +97,8 @@ def main():
     print(f"setup: {time.time()-t0:.1f}s", file=sys.stderr)
     warm.join()
 
-    # warmup (compile)
+    # warmup: compile + a few epochs (the first 1-2 post-compile epochs pay
+    # a one-time ~1 s runtime/autotune cost on this TPU)
     t0 = time.time()
     params, estate, stats, _ = model.em_step(
         params, estate, data, jax.random.key(1), cfg
@@ -105,6 +106,11 @@ def main():
     jax.block_until_ready(estate.lpj)
     print(f"warmup epoch (incl. compile): {time.time()-t0:.1f}s, "
           f"F={float(stats.F):.2f}", file=sys.stderr)
+    for e in range(3):
+        params, estate, stats, _ = model.em_step(
+            params, estate, data, jax.random.fold_in(jax.random.key(1), e), cfg
+        )
+    jax.block_until_ready(estate.lpj)
 
     # Pipelined stepping (standard JAX practice): enqueue every epoch, block
     # once at the end.  Async dispatch overlaps the host->device command

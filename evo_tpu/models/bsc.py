@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from evo_tpu.models.base import Data, StepStats, block_gram
-from evo_tpu.ops.bitpack import pack_bits_u8, unpack_bits_u8
+from evo_tpu.ops.bitpack import pack_bits_lane, unpack_bits_lane
 from evo_tpu.ops.numerics import (
     eps_lpj,
     free_energy_from_lpj,
@@ -201,7 +201,7 @@ class BSC:
     # ---------------------------------------------------------------- E-step
 
     def _estep_block(self, keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, pre,
-                     cfg: EAConfig, incomplete: bool):
+                     cfg: EAConfig, incomplete: bool, packed: bool = False):
         """Full evolutionary E-step for one row-block [B, ...].
 
         Mirrors the reference E_step body (_models.py:497-535): evaluate lpj
@@ -209,14 +209,18 @@ class BSC:
         structured block-level so both the K-state and per-generation
         children evaluations run through the fused Pallas kernel (or one
         batched einsum) instead of per-datapoint GEMVs.
+
+        With ``packed=True``, ss_b is lane-major bit-packed uint8
+        [B, S, H/8] and stays packed end-to-end (kernels unpack in VMEM;
+        the merged ss2 comes back packed).
         """
         B = ss_b.shape[0]
         g_axis = 0 if incomplete else None
 
         def lpj_block(states_b):
-            """[B, K, H] -> ([B, K] reset-clamped lpj, reset counts)."""
+            """[B, K, H or H/8] -> ([B, K] reset-clamped lpj, counts)."""
             K = states_b.shape[1]
-            use_pallas = self.lpj_kernel == "pallas" or (
+            use_pallas = packed or self.lpj_kernel == "pallas" or (
                 self.lpj_kernel == "auto"
                 and pallas_lpj_applicable(B, K, self.H, incomplete)
                 and Wty_b.dtype == jnp.float32
@@ -240,7 +244,7 @@ class BSC:
         else:
             children, child_lpj, new_unique, child_lpj_raw, aux = (
                 evolve_states_block(keys_b, ss_b, lpj_K, lpj_block, cfg,
-                                    pre["piH"])
+                                    pre["piH"], packed=packed)
             )
             all_counts.extend(aux)
             if cfg.unification:
@@ -314,16 +318,27 @@ class BSC:
             and pallas_suffstat_applicable(B, cfg.S, self.H)
             and dt == jnp.float32
         )
-
+        # fully packed epoch: states never materialize unpacked in HBM —
+        # every consumer (lpj kernels, suffstat kernel, dedup keys, merge
+        # gather) reads the lane-major bit-packed uint8 form directly
+        C = cfg.children_per_gen
+        use_packed = (
+            cfg.packed_states
+            and use_suffstat
+            and pallas_lpj_applicable(B, cfg.S, self.H, data.incomplete)
+            and (cfg.exact
+                 or pallas_lpj_applicable(B, C, self.H, data.incomplete))
+            and self.H % 8 == 0
+        )
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
-            if cfg.packed_states:
-                ss_b = unpack_bits_u8(ss_b, self.H).astype(jnp.int8)
+            if cfg.packed_states and not use_packed:
+                ss_b = unpack_bits_lane(ss_b, self.H).astype(jnp.int8)
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
 
             ss2, lpj_full, n_uni, n_sub, counts = self._estep_block(
                 keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, pre, cfg,
-                data.incomplete,
+                data.incomplete, packed=use_packed,
             )
 
             vf = valid_b.astype(dt)
@@ -339,7 +354,7 @@ class BSC:
             # ---- M-step state statistics: rho, Wq, |s| — one fused pass
             # over the bool states where profitable (reference bsc.py:173-223)
             if use_suffstat:
-                rho, s_abs, Wq = bsc_suffstat_pallas(ss2, rs)
+                rho, s_abs, Wq = bsc_suffstat_pallas(ss2, rs, H=self.H)
             else:
                 sf = ss2.astype(dt)  # [B, S, H]
                 rho = jnp.einsum("bs,bsh->bh", rs, sf)  # [B, H]
@@ -349,7 +364,8 @@ class BSC:
             # ---- reconstruction (posterior-predictive mean,
             #      reference _models.py:614-665)
             if do_reconstruction:
-                sf = ss2.astype(dt)
+                sf = (unpack_bits_lane(ss2, self.H) if use_packed
+                      else ss2).astype(dt)
                 means = jnp.einsum("bsh,dh->bsd", sf, W)  # [B, S, D]
                 est = jnp.einsum("bs,bsd->bd", rs, means)
                 y_rec = jnp.where(x_b, y_b, est)
@@ -385,7 +401,10 @@ class BSC:
                     for a, b in zip(acc["resets"], tuple(counts))
                 ),
             )
-            ss_out = pack_bits_u8(ss2) if cfg.packed_states else ss2
+            if cfg.packed_states:
+                ss_out = ss2 if use_packed else pack_bits_lane(ss2)
+            else:
+                ss_out = ss2
             return acc, (ss_out, lpj_full, y_rec)
 
         acc0 = dict(

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from evo_tpu.models.base import Data, StepStats, block_gram
-from evo_tpu.ops.bitpack import pack_bits_u8, unpack_bits_u8
+from evo_tpu.ops.bitpack import pack_bits_lane, unpack_bits_lane
 from evo_tpu.ops.numerics import posterior_weights, reset_lpj, shifted_logsumexp, free_energy_from_lpj
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states
@@ -356,7 +356,7 @@ class SSSC:
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs
             if cfg.packed_states:
-                ss_b = unpack_bits_u8(ss_b, self.H).astype(jnp.int8)
+                ss_b = unpack_bits_lane(ss_b, self.H).astype(jnp.int8)
             G_b, Wty_b, y2_b = block_gram(W, y_b, xinf_b, data.incomplete)
             g_axis = 0 if data.incomplete else None
 
@@ -423,7 +423,7 @@ class SSSC:
                 ),
                 psi_bad=acc["psi_bad"] + jnp.sum(n_bad, dtype=jnp.int32),
             )
-            ss_out = pack_bits_u8(ss2) if cfg.packed_states else ss2
+            ss_out = pack_bits_lane(ss2) if cfg.packed_states else ss2
             return new, (ss_out, lpj_full, y_rec)
 
         H = self.H

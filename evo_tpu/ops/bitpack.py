@@ -68,6 +68,81 @@ def unpack_bits_u8(packed: jnp.ndarray, H: int) -> jnp.ndarray:
     return bits.reshape(packed.shape[:-1] + (-1,))[..., :H].astype(bool)
 
 
+# ---------------------------------------------------------------------------
+# Lane-major packing: the persistent on-device format for bit-packed states.
+#
+# Latent unit l lives in byte (l mod W8), bit (l div W8), W8 = ceil(H/8) —
+# the TRANSPOSE of np.packbits' byte-major order.  Chosen so a Pallas kernel
+# can unpack a [*, W8] tile entirely in VMEM with lane-aligned ops:
+# pltpu.repeat(pk, 8, axis=-1) tiles the byte vector (r[.., h] = pk[.., h mod
+# W8]), and bit (h div W8) of r[.., h] is exactly latent h.
+# ---------------------------------------------------------------------------
+
+
+def n_bytes_lane(H: int) -> int:
+    return -(-H // 8)
+
+
+def pack_bits_lane(ss: jnp.ndarray) -> jnp.ndarray:
+    """Binary states [..., H] -> lane-major packed uint8 [..., ceil(H/8)]."""
+    H = ss.shape[-1]
+    W8 = n_bytes_lane(H)
+    pad = W8 * 8 - H
+    if pad:
+        ss = jnp.concatenate(
+            [ss, jnp.zeros(ss.shape[:-1] + (pad,), ss.dtype)], axis=-1
+        )
+    bits = ss.reshape(ss.shape[:-1] + (8, W8)) != 0  # [.., j, b], l = j*W8+b
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[:, None]
+    return jnp.sum(jnp.where(bits, weights, jnp.uint8(0)), axis=-2,
+                   dtype=jnp.uint8)
+
+
+def unpack_bits_lane(packed: jnp.ndarray, H: int) -> jnp.ndarray:
+    """Lane-major packed uint8 [..., ceil(H/8)] -> bool [..., H]."""
+    shifts = jnp.arange(8, dtype=jnp.uint8).reshape(8, 1)
+    bits = (packed[..., None, :] >> shifts) & jnp.uint8(1)  # [.., 8, W8]
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :H].astype(bool)
+
+
+def pack_bits_lane_host(ss) -> "np.ndarray":
+    """NumPy twin of pack_bits_lane for host-side initialization."""
+    import numpy as np
+
+    H = ss.shape[-1]
+    W8 = n_bytes_lane(H)
+    pad = W8 * 8 - H
+    if pad:
+        ss = np.concatenate(
+            [ss, np.zeros(ss.shape[:-1] + (pad,), ss.dtype)], axis=-1)
+    bits = ss.reshape(ss.shape[:-1] + (8, W8)).astype(np.uint8)
+    out = np.zeros(ss.shape[:-1] + (W8,), np.uint8)
+    for j in range(8):
+        out |= bits[..., j, :] << j
+    return out
+
+
+def dedup_keys_packed(packed: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    """Duplicate-detection keys from lane-major packed states [..., W8]:
+    4 bytes -> 1 exact uint32 word; hashed to 2 words when more than 2
+    (same policy as dedup_keys).  Keys are only compared against keys from
+    this same function, so the byte order inside a word is irrelevant —
+    it just has to be bijective."""
+    W8 = packed.shape[-1]
+    W4 = -(-W8 // 4)
+    pad = W4 * 4 - W8
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros(packed.shape[:-1] + (pad,), jnp.uint8)],
+            axis=-1)
+    b = packed.reshape(packed.shape[:-1] + (W4, 4)).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << (8 * jnp.arange(4, dtype=jnp.uint32)))
+    keys = jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
+    if exact or keys.shape[-1] <= 2:
+        return keys
+    return hash_words(keys)
+
+
 def hash_words(keys: jnp.ndarray) -> jnp.ndarray:
     """Mix packed words [..., W] uint32 into 2 uint32 hash words [..., 2].
 
@@ -138,9 +213,13 @@ def take_rows(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Returns int8 — the framework's device representation for states (bool
     operands force extra pred<->s8 HBM round-trips around the Pallas
-    kernels; int8 feeds them directly)."""
+    kernels; int8 feeds them directly).  uint8 inputs (lane-major packed
+    states, values 0..255) pass through exactly: one-hot selection in bf16
+    with f32 accumulation reproduces any integer <= 255 bit-for-bit."""
     K = mat.shape[0]
     oh = jax.nn.one_hot(idx, K, dtype=jnp.bfloat16)  # [M, K]
     out = jnp.dot(oh, mat.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
+    if mat.dtype == jnp.uint8:
+        return out.astype(jnp.uint8)
     return (out > 0.5).astype(jnp.int8)

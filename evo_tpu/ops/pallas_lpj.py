@@ -28,18 +28,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, out_ref):
-    bb, K, H = ss_ref.shape
-    sf = ss_ref[:].astype(jnp.float32)  # [bb, K, H] in VMEM
-    sf2 = sf.reshape(bb * K, H)
-    t = jnp.dot(sf2, G_ref[:], preferred_element_type=jnp.float32)  # MXU
-    sGs = jnp.sum(t * sf2, axis=-1).reshape(bb, K)
-    s_abs = jnp.sum(sf, axis=-1)  # [bb, K]
-    sWty = jnp.sum(sf * wty_ref[:][:, None, :], axis=-1)  # [bb, K]
-    pre1 = scal_ref[0, 0]
-    pil_bar = scal_ref[0, 1]
-    quad = y2_ref[:] - 2.0 * sWty + sGs
-    out_ref[:] = pre1 * quad + pil_bar * s_abs
+def unpack_lane_f32(pk):
+    """In-VMEM unpack of lane-major packed states (ops.bitpack format):
+    int [..., W8] -> f32 [..., 8*W8].  pltpu.repeat tiles the byte vector
+    along the lane axis (r[.., h] = pk[.., h mod W8]), and bit (h div W8)
+    of r[.., h] is latent h by construction of the lane-major layout."""
+    W8 = pk.shape[-1]
+    H = 8 * W8
+    r = pltpu.repeat(pk.astype(jnp.int32), 8, axis=pk.ndim - 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, pk.shape[:-1] + (H,),
+                                 pk.ndim - 1) // W8
+    return jnp.bitwise_and(jax.lax.shift_right_logical(r, j), 1).astype(
+        jnp.float32)
+
+
+def _make_kernel(packed: bool):
+    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, out_ref):
+        bb, K = ss_ref.shape[:2]
+        H = G_ref.shape[0]
+        if packed:
+            sf = unpack_lane_f32(ss_ref[:])  # [bb, K, H] in VMEM
+        else:
+            sf = ss_ref[:].astype(jnp.float32)
+        sf2 = sf.reshape(bb * K, H)
+        t = jnp.dot(sf2, G_ref[:], preferred_element_type=jnp.float32)  # MXU
+        sGs = jnp.sum(t * sf2, axis=-1).reshape(bb, K)
+        s_abs = jnp.sum(sf, axis=-1)  # [bb, K]
+        sWty = jnp.sum(sf * wty_ref[:][:, None, :], axis=-1)  # [bb, K]
+        pre1 = scal_ref[0, 0]
+        pil_bar = scal_ref[0, 1]
+        quad = y2_ref[:] - 2.0 * sWty + sGs
+        out_ref[:] = pre1 * quad + pil_bar * s_abs
+
+    return _kernel
 
 
 @partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -47,19 +68,26 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
                    interpret: bool = False):
     """ss: int8 0/1 [B, K, H] (the framework's device state representation;
     bool inputs are cast — int8 avoids the pred->s8 HBM round-trip and the
-    f32 cast happens in VMEM); Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
+    f32 cast happens in VMEM) OR lane-major packed uint8 [B, K, H/8]
+    (EAConfig.packed_states: unpacked entirely in VMEM — the 8x-smaller HBM
+    read is the fastest path); Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
     (shared Gram, complete data).  Returns lpj f32 [B, K].
 
     Requires B % block_rows == 0; H should be a multiple of 128 for full
     lane utilization (callers gate on this)."""
-    B, K, H = ss.shape
+    B, K, Win = ss.shape
+    H = G.shape[0]
+    packed = ss.dtype == jnp.uint8
+    assert (Win == -(-H // 8)) if packed else (Win == H), (ss.shape, H)
+    if packed:
+        assert H % 8 == 0, H
     assert B % block_rows == 0, (B, block_rows)
     bb = block_rows
     grid = (B // bb,)
     scal = jnp.stack([pre1, pil_bar]).astype(jnp.float32).reshape(1, 2)
 
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(packed),
         out_shape=jax.ShapeDtypeStruct((B, K), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -67,7 +95,7 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((bb, K, H), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, K, Win), lambda i: (i, 0, 0)),
                 pl.BlockSpec((bb, H), lambda i: (i, 0)),
                 pl.BlockSpec((bb, 1), lambda i: (i, 0)),
                 pl.BlockSpec((H, H), lambda i: (0, 0)),
@@ -75,7 +103,8 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
             out_specs=pl.BlockSpec((bb, K), lambda i: (i, 0)),
         ),
         interpret=interpret,
-    )(scal, ss if ss.dtype == jnp.int8 else ss.astype(jnp.int8),
+    )(scal,
+      ss if ss.dtype in (jnp.int8, jnp.uint8) else ss.astype(jnp.int8),
       Wty.astype(jnp.float32),
       y2.astype(jnp.float32).reshape(B, 1), G.astype(jnp.float32))
 

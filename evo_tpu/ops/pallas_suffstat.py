@@ -25,39 +25,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(ss_ref, rs_ref, rho_ref, sabs_ref, wq_ref):
-    bb, S, H = ss_ref.shape
-    sf = ss_ref[:].astype(jnp.float32)  # [bb, S, H] in VMEM
-    rs = rs_ref[:]  # [bb, S]
-    w = rs[..., None] * sf  # [bb, S, H]
-    rho_ref[:] = jnp.sum(w, axis=1)
-    sabs_ref[:] = jnp.sum(sf, axis=-1)
-    contrib = jax.lax.dot_general(
-        w.reshape(bb * S, H),
-        sf.reshape(bb * S, H),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, H] on the MXU
+def _make_kernel(packed: bool, H: int):
+    def _kernel(ss_ref, rs_ref, rho_ref, sabs_ref, wq_ref):
+        bb, S = ss_ref.shape[:2]
+        if packed:
+            from evo_tpu.ops.pallas_lpj import unpack_lane_f32
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        wq_ref[:] = contrib
+            sf = unpack_lane_f32(ss_ref[:])  # [bb, S, H] in VMEM
+        else:
+            sf = ss_ref[:].astype(jnp.float32)
+        rs = rs_ref[:]  # [bb, S]
+        w = rs[..., None] * sf  # [bb, S, H]
+        rho_ref[:] = jnp.sum(w, axis=1)
+        sabs_ref[:] = jnp.sum(sf, axis=-1)
+        contrib = jax.lax.dot_general(
+            w.reshape(bb * S, H),
+            sf.reshape(bb * S, H),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, H] on the MXU
 
-    @pl.when(pl.program_id(0) != 0)
-    def _():
-        wq_ref[:] = wq_ref[:] + contrib
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            wq_ref[:] = contrib
+
+        @pl.when(pl.program_id(0) != 0)
+        def _():
+            wq_ref[:] = wq_ref[:] + contrib
+
+    return _kernel
 
 
-@partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def bsc_suffstat_pallas(ss, rs, block_rows: int = 64, interpret: bool = False):
-    """ss: bool [B, S, H]; rs: f32 [B, S].  Returns (rho [B,H], sabs [B,S],
-    Wq [H,H]), all f32.  Requires B % block_rows == 0."""
-    B, S, H = ss.shape
+@partial(jax.jit, static_argnames=("H", "block_rows", "interpret"))
+def bsc_suffstat_pallas(ss, rs, H: int = None, block_rows: int = 64,
+                        interpret: bool = False):
+    """ss: int8 0/1 [B, S, H] or lane-major packed uint8 [B, S, H/8]
+    (pass H explicitly for packed input); rs: f32 [B, S].  Returns
+    (rho [B,H], sabs [B,S], Wq [H,H]), all f32.  Requires
+    B % block_rows == 0."""
+    B, S, Win = ss.shape
+    packed = ss.dtype == jnp.uint8
+    if H is None:
+        assert not packed, "packed input requires explicit H"
+        H = Win
+    assert (Win == -(-H // 8)) if packed else (Win == H), (ss.shape, H)
     assert B % block_rows == 0, (B, block_rows)
     bb = block_rows
 
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(packed, H),
         out_shape=(
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
@@ -67,7 +83,7 @@ def bsc_suffstat_pallas(ss, rs, block_rows: int = 64, interpret: bool = False):
             num_scalar_prefetch=0,
             grid=(B // bb,),
             in_specs=[
-                pl.BlockSpec((bb, S, H), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, S, Win), lambda i: (i, 0, 0)),
                 pl.BlockSpec((bb, S), lambda i: (i, 0)),
             ],
             out_specs=(
@@ -77,7 +93,7 @@ def bsc_suffstat_pallas(ss, rs, block_rows: int = 64, interpret: bool = False):
             ),
         ),
         interpret=interpret,
-    )(ss if ss.dtype == jnp.int8 else ss.astype(jnp.int8),
+    )(ss if ss.dtype in (jnp.int8, jnp.uint8) else ss.astype(jnp.int8),
       rs.astype(jnp.float32))
 
 

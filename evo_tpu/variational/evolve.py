@@ -128,11 +128,12 @@ def evolve_states(
 
 def evolve_states_block(
     keys_b: jax.Array,  # [B] PRNG keys (one per datapoint)
-    ss_b: jnp.ndarray,  # [B, S, H] bool — current K^(n) for the block
+    ss_b: jnp.ndarray,  # [B, S, H] int8/bool — or packed u8 [B, S, H/8]
     lpj_b: jnp.ndarray,  # [B, S]
-    lpj_fn_block: Callable,  # [B, C, H] bool -> ([B, C], aux)
+    lpj_fn_block: Callable,  # [B, C, H or H/8] -> ([B, C], aux)
     cfg: EAConfig,
     sparseness,  # pi*H of the current model (dynamic scalar)
+    packed: bool = False,
 ):
     """Block-level `evolve_states`: numerically identical to
     ``vmap(evolve_states)`` over the batch (same per-datapoint RNG stream,
@@ -141,14 +142,29 @@ def evolve_states_block(
     route the evaluation through an MXU/Pallas kernel instead of a vmapped
     einsum (which XLA surrounds with layout copies of the f32-cast states).
 
+    With ``packed=True``, states flow through in the lane-major bit-packed
+    uint8 format (ops.bitpack.pack_bits_lane): the seen-set keys come
+    straight from the packed bytes, children are packed right after
+    mutation, and only the tiny per-datapoint parent sets are ever unpacked
+    — candidate state arrays never materialize unpacked in HBM.
+
     ``lpj_fn_block`` returns (lpj [B, C], aux); the aux values (e.g. lpj
     reset counters) are collected into a list and returned alongside.
 
-    Returns (children [B,T,H], child_lpj [B,T] with -inf at duplicates,
+    Returns (children [B,T,Hrep], child_lpj [B,T] with -inf at duplicates,
     new_unique [B,T], child_lpj_raw [B,T], aux_list).
     """
-    B, S, H = ss_b.shape
-    assert H == cfg.H
+    from evo_tpu.ops.bitpack import (
+        dedup_keys_packed,
+        n_bytes_lane,
+        pack_bits_lane,
+        unpack_bits_lane,
+    )
+
+    B, S, Hrep = ss_b.shape
+    H = cfg.H
+    assert Hrep == (n_bytes_lane(H) if packed else H), (ss_b.shape, H)
+    keys_of = dedup_keys_packed if packed else dedup_keys
     C = cfg.children_per_gen
     T = cfg.n_new
     W = min(n_words(H), 2)
@@ -159,11 +175,12 @@ def evolve_states_block(
         seen_keys = jnp.zeros((cap, W), dtype=jnp.uint32)
         seen_valid = jnp.zeros((cap,), dtype=bool)
         if cfg.allzero:
-            zero_key = dedup_keys(jnp.zeros((1, H), dtype=bool))
+            zero_key = keys_of(jnp.zeros(
+                (1, Hrep), dtype=jnp.uint8 if packed else bool))
             seen_keys = seen_keys.at[0:1].set(zero_key)
             seen_valid = seen_valid.at[0].set(True)
         seen_keys = jax.lax.dynamic_update_slice(
-            seen_keys, dedup_keys(ss_n), (cfg.S_perm, 0))
+            seen_keys, keys_of(ss_n), (cfg.S_perm, 0))
         seen_valid = jax.lax.dynamic_update_slice(
             seen_valid, jnp.ones((S,), bool), (cfg.S_perm,))
         return seen_keys, seen_valid
@@ -181,23 +198,29 @@ def evolve_states_block(
             n_par = min(pool_s.shape[0], cfg.n_parents)
             pidx = select_idx(cfg.parent_selection, k_sel, pool_l,
                               pool_s.shape[0], n_par)
-            parents = take_rows(pool_s, pidx).astype(bool)
+            parents = take_rows(pool_s, pidx)
+            if packed:
+                parents = unpack_bits_lane(parents, H)
+            else:
+                parents = parents.astype(bool)
             children_m = mutate(k_mut, parents[:, : cfg.H_mut],
                                 cfg.n_children, sparseness, cfg.bitflip_prob)
             if cfg.background:
                 bg = jnp.ones((children_m.shape[0], 1), dtype=bool)
                 children_m = jnp.concatenate([children_m, bg], axis=1)
+            if packed:
+                return pack_bits_lane(children_m)
             return children_m.astype(ss_b.dtype)  # int8 on device
 
         children = jax.vmap(sel_mut)(keys_b, pool_states, pool_lpj)
-        assert children.shape == (B, C, H)
+        assert children.shape == (B, C, Hrep)
         child_lpj, aux = lpj_fn_block(children)
         aux_list.append(aux)
 
         off = cfg.S_perm + S + g * C
 
         def dedup_one(children_n, seen_k, seen_v):
-            ckeys = dedup_keys(children_n)
+            ckeys = keys_of(children_n)
             is_dup = dup_against(ckeys, seen_k, seen_v) | dup_within(ckeys)
             new_unique = ~is_dup
             seen_k = jax.lax.dynamic_update_slice(seen_k, ckeys, (off, 0))
@@ -217,5 +240,5 @@ def evolve_states_block(
     child_lpj = jnp.concatenate(out_lpj, axis=1)
     new_unique = jnp.concatenate(out_new, axis=1)
     child_lpj_raw = jnp.concatenate(out_raw, axis=1)
-    assert children.shape == (B, T, H)
+    assert children.shape == (B, T, Hrep)
     return children, child_lpj, new_unique, child_lpj_raw, aux_list

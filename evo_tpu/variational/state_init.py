@@ -197,13 +197,19 @@ def init_states(
     from evo_tpu.ops.bitpack import unpack_bits_u8
 
     H_out = ss.shape[-1]
-    packed = np.packbits(ss, axis=-1, bitorder="little")
     if packed_states:
-        ss_dev = jnp.asarray(packed)
+        # persistent packed storage uses the LANE-MAJOR layout
+        # (ops.bitpack.pack_bits_lane) so the Pallas kernels can unpack it
+        # in VMEM without any lane shuffles
+        from evo_tpu.ops.bitpack import pack_bits_lane_host
+
+        ss_dev = jnp.asarray(pack_bits_lane_host(ss))
     else:
-        # int8 is the device representation for unpacked states (see
-        # ops.bitpack.take_rows): the Pallas kernels consume it directly,
-        # where bool would force pred<->s8 HBM round-trips every epoch
+        # ship packed (8x less traffic over a tunneled device link), unpack
+        # on device; int8 is the device representation for unpacked states
+        # (see ops.bitpack.take_rows): the Pallas kernels consume it
+        # directly, where bool would force pred<->s8 round-trips every epoch
+        packed = np.packbits(ss, axis=-1, bitorder="little")
         ss_dev = jax.jit(
             lambda p: unpack_bits_u8(p, H=H_out).astype(jnp.int8)
         )(jnp.asarray(packed))

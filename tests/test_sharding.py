@@ -85,10 +85,10 @@ def test_packed_states_equivalence():
     p2, e2, s2, _ = model.em_step(params, est2, data, key, cfg2)
     np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(e1.lpj), np.asarray(e2.lpj))
-    from evo_tpu.ops.bitpack import unpack_bits_u8
+    from evo_tpu.ops.bitpack import unpack_bits_lane
 
-    np.testing.assert_array_equal(np.asarray(e1.ss),
-                                  np.asarray(unpack_bits_u8(e2.ss, H)))
+    np.testing.assert_array_equal(np.asarray(e1.ss).astype(bool),
+                                  np.asarray(unpack_bits_lane(e2.ss, H)))
     np.testing.assert_allclose(np.asarray(p1.W), np.asarray(p2.W), rtol=1e-6)
 
 
