@@ -45,7 +45,7 @@ from evo_tpu.models.base import Data, StepStats, block_gram
 from evo_tpu.ops.bitpack import pack_bits_lane, unpack_bits_lane
 from evo_tpu.ops.numerics import posterior_weights, reset_lpj, shifted_logsumexp, free_energy_from_lpj
 from evo_tpu.variational.config import EAConfig
-from evo_tpu.variational.evolve import evolve_states
+from evo_tpu.variational.evolve import evolve_states_block
 from evo_tpu.variational.state_init import EState, full_state_matrix
 from evo_tpu.variational.varykn import vary_Kn, vary_Kn_whole_set
 
@@ -301,56 +301,62 @@ class SSSC:
 
         keys = jax.random.split(key, nb * B).reshape(nb, B)
 
-        def estep_one(key_n, ss_n, G_n, Wty_n, y2_n):
-            reset_counts = []
-            bad_counts = []
-            kappa_stash = []
-            lam_stash = []
+        def estep_block(keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis):
+            """Block-level evolutionary E-step (mirrors BSC._estep_block):
+            the K-state and per-generation children evaluations run as one
+            batched call each, and the slab quantities (kappa, lambda) that
+            fall out of the candidate solves are stashed in call order —
+            exactly the candidate order of vary_Kn's concat(old, children),
+            so the EM step reuses the solves for the sufficient statistics."""
+            B = ss_b.shape[0]
+            kappa_stash, lam_stash = [], []
 
-            def lpj_fn(states):
-                lpj, bad, kappa, lam_m = self._lpj_states(
-                    states, G_n, Wty_n, y2_n, Psi, mus, s2inv, pre["pil_bar"]
-                )
-                lpj, counts = reset_lpj(lpj)
-                reset_counts.append(counts)
-                bad_counts.append(bad)
+            def lpj_block(states_b):
+                lpj, bad, kappa, lam_m = jax.vmap(
+                    self._lpj_states,
+                    in_axes=(0, g_axis, 0, 0, None, None, None, None),
+                )(states_b, G_b, Wty_b, y2_b, Psi, mus, s2inv, pre["pil_bar"])
+                lpj, counts = reset_lpj(lpj, valid=valid_b)
                 kappa_stash.append(kappa)
                 lam_stash.append(lam_m)
-                return lpj
+                return lpj, (counts, jnp.sum(bad, dtype=jnp.int32))
 
-            lpj_K = lpj_fn(ss_n)
+            lpj_K, aux0 = lpj_block(ss_b)
+            all_aux = [aux0]
             if cfg.exact:
-                ss2, lpj2 = ss_n, lpj_K
-                n_uni = jnp.zeros((), jnp.int32)
-                n_sub = jnp.zeros((), jnp.int32)
-                idx = jnp.arange(cfg.S)
+                ss2, lpj2 = ss_b, lpj_K
+                n_uni = jnp.zeros((B,), jnp.int32)
+                n_sub = jnp.zeros((B,), jnp.int32)
+                idx = jnp.broadcast_to(jnp.arange(cfg.S), (B, cfg.S))
             else:
-                children, child_lpj, new_unique, child_lpj_raw = evolve_states(
-                    key_n, ss_n, lpj_K, lpj_fn, cfg, pre["piH"]
+                children, child_lpj, new_unique, child_lpj_raw, aux = (
+                    evolve_states_block(keys_b, ss_b, lpj_K, lpj_block, cfg,
+                                        pre["piH"])
                 )
+                all_aux.extend(aux)
                 if cfg.unification:
-                    ss2, lpj2, n_sub, idx = vary_Kn(
-                        ss_n, lpj_K, children, child_lpj, cfg.mprime
-                    )
-                    n_uni = new_unique.sum()
+                    ss2, lpj2, n_sub, idx = jax.vmap(
+                        vary_Kn, in_axes=(0, 0, 0, 0, None)
+                    )(ss_b, lpj_K, children, child_lpj, cfg.mprime)
+                    n_uni = new_unique.sum(axis=1).astype(jnp.int32)
                 else:
-                    ss2, lpj2, n_uni, n_sub, idx = vary_Kn_whole_set(
-                        ss_n, lpj_K, children, child_lpj_raw, new_unique,
-                        cfg.reject_worse,
-                    )
+                    ss2, lpj2, n_uni, n_sub, idx = jax.vmap(
+                        vary_Kn_whole_set, in_axes=(0, 0, 0, 0, 0, None)
+                    )(ss_b, lpj_K, children, child_lpj_raw, new_unique,
+                      cfg.reject_worse)
 
             if cfg.allzero:
-                lpj0 = -0.5 * s2inv * y2_n
-                lpj_full = jnp.concatenate([lpj0[None], lpj2])
+                lpj0 = -0.5 * s2inv * y2_b
+                lpj_full = jnp.concatenate([lpj0[:, None], lpj2], axis=1)
             else:
                 lpj_full = lpj2
 
-            counts = jax.tree.map(lambda *xs: sum(xs), *reset_counts)
-            # candidate-aligned slab quantities: [S+T, H] / [S+T, H, H] in
-            # the same order as vary_Kn's concat(old, children)
-            kappa_all = jnp.concatenate(kappa_stash, axis=0)
-            lam_all = jnp.concatenate(lam_stash, axis=0)
-            return (ss2, lpj_full, n_uni, n_sub, counts, sum(bad_counts),
+            counts = jax.tree.map(lambda *xs: sum(xs),
+                                  *[a[0] for a in all_aux])
+            n_bad = sum(a[1] for a in all_aux)
+            kappa_all = jnp.concatenate(kappa_stash, axis=1)  # [B, K_all, H]
+            lam_all = jnp.concatenate(lam_stash, axis=1)
+            return (ss2, lpj_full, n_uni, n_sub, counts, n_bad,
                     kappa_all, lam_all, idx)
 
         def block_fn(acc, xs):
@@ -361,9 +367,8 @@ class SSSC:
             g_axis = 0 if data.incomplete else None
 
             (ss2, lpj_full, n_uni, n_sub, counts, n_bad,
-             kappa_all, lam_all, idx) = jax.vmap(
-                estep_one, in_axes=(0, 0, g_axis, 0, 0)
-            )(keys_b, ss_b, G_b, Wty_b, y2_b)
+             kappa_all, lam_all, idx) = estep_block(
+                keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis)
 
             vf = valid_b.astype(dt)
             Fsum = jnp.sum(shifted_logsumexp(lpj_full) * vf)

@@ -101,9 +101,18 @@ def main(N_measure=500, H=256, S=64, D=256, epochs=1, N_target=100_000):
         "reference_epoch_s_at_N_target_extrapolated": scaled,
         "reference_lpj_evals_per_s": lpj_evals / per_epoch,
         "init_states_s": t_init,
+        # Multi-rank projections under IDEAL linear scaling (this container
+        # has a single CPU core, so contention cannot be measured; ideal
+        # scaling is the most favorable assumption for the reference — its
+        # per-datapoint loops are independent and its collectives tiny, so
+        # real mpirun numbers would be slightly worse than these).
+        "reference_epoch_s_at_N_target_ideal_multirank": {
+            str(r): scaled / r for r in (8, 64, 256)
+        },
         "method": "reference code from /root/reference run single-rank via "
                   "mpi4py stub; per-datapoint Python loop => linear in N; "
-                  "extrapolated from N_measure to N_target",
+                  "extrapolated from N_measure to N_target; multirank = "
+                  "ideal linear scaling (1-core container, see comment)",
     }
     print(json.dumps(result, indent=2))
     with open("BASELINE_MEASURED.json", "w") as f:
