@@ -218,23 +218,37 @@ class BSC:
         g_axis = 0 if incomplete else None
 
         def lpj_block(states_b):
-            """[B, K, H or H/8] -> ([B, K] reset-clamped lpj, counts)."""
+            """[B, K, H or H/8] -> ([B, K] reset-clamped lpj,
+            dedup keys | None, reset counts).  When the Pallas kernel runs
+            on unpacked int8 states it also emits the dedup key words from
+            VMEM, saving the separate HBM pass that would recompute them."""
             K = states_b.shape[1]
             use_pallas = packed or self.lpj_kernel == "pallas" or (
                 self.lpj_kernel == "auto"
                 and pallas_lpj_applicable(B, K, self.H, incomplete)
                 and Wty_b.dtype == jnp.float32
             )
+            dkeys = None
             if use_pallas:
-                lpj = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
-                                     pre["pre1"], pre["pil_bar"])
+                emit = not packed and not cfg.exact
+                if emit:
+                    lpj, raw = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
+                                              pre["pre1"], pre["pil_bar"],
+                                              emit_keys=True)
+                    from evo_tpu.ops.bitpack import finalize_keys
+
+                    dkeys = finalize_keys(raw)
+                else:
+                    lpj = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
+                                         pre["pre1"], pre["pil_bar"])
             else:
                 lpj = jax.vmap(
                     self._lpj_one, in_axes=(0, g_axis, 0, 0, None, None)
                 )(states_b, G_b, Wty_b, y2_b, pre["pre1"], pre["pil_bar"])
-            return reset_lpj(lpj, valid=valid_b)
+            lpj, counts = reset_lpj(lpj, valid=valid_b)
+            return lpj, dkeys, counts
 
-        lpj_K, counts0 = lpj_block(ss_b)
+        lpj_K, ss_dkeys, counts0 = lpj_block(ss_b)
         all_counts = [counts0]
 
         if cfg.exact:
@@ -244,7 +258,8 @@ class BSC:
         else:
             children, child_lpj, new_unique, child_lpj_raw, aux = (
                 evolve_states_block(keys_b, ss_b, lpj_K, lpj_block, cfg,
-                                    pre["piH"], packed=packed)
+                                    pre["piH"], packed=packed,
+                                    ss_dkeys=ss_dkeys)
             )
             all_counts.extend(aux)
             if cfg.unification:

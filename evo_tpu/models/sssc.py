@@ -319,9 +319,9 @@ class SSSC:
                 lpj, counts = reset_lpj(lpj, valid=valid_b)
                 kappa_stash.append(kappa)
                 lam_stash.append(lam_m)
-                return lpj, (counts, jnp.sum(bad, dtype=jnp.int32))
+                return lpj, None, (counts, jnp.sum(bad, dtype=jnp.int32))
 
-            lpj_K, aux0 = lpj_block(ss_b)
+            lpj_K, _, aux0 = lpj_block(ss_b)
             all_aux = [aux0]
             if cfg.exact:
                 ss2, lpj2 = ss_b, lpj_K

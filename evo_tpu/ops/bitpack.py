@@ -162,6 +162,15 @@ def hash_words(keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([h1, h2], axis=-1)
 
 
+def finalize_keys(raw_words: jnp.ndarray) -> jnp.ndarray:
+    """Apply dedup_keys' hashing policy to raw packed words [..., W_raw]
+    (e.g. emitted by the Pallas lpj kernel): exact when they fit in 2
+    words, else the 64-bit hash."""
+    if raw_words.shape[-1] <= 2:
+        return raw_words
+    return hash_words(raw_words)
+
+
 def dedup_keys(ss: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Duplicate-detection keys for states [..., H]: the exact packed words
     when they already fit in 2 (H <= 64) or exact=True, else a 64-bit hash."""

@@ -42,8 +42,9 @@ def unpack_lane_f32(pk):
         jnp.float32)
 
 
-def _make_kernel(packed: bool):
-    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, out_ref):
+def _make_kernel(packed: bool, emit_keys: bool):
+    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, out_ref,
+                *keys_ref):
         bb, K = ss_ref.shape[:2]
         H = G_ref.shape[0]
         if packed:
@@ -60,18 +61,38 @@ def _make_kernel(packed: bool):
         quad = y2_ref[:] - 2.0 * sWty + sGs
         out_ref[:] = pre1 * quad + pil_bar * s_abs
 
+        if emit_keys:
+            # dedup key half-words from the states already resident in
+            # VMEM, via an exact f32 matmul on the MXU (Mosaic cannot split
+            # the lane dim for a [.., W, 32] reshape): halfword v packs
+            # latents [16v, 16v+16) little-endian, with weights <= 2^15 and
+            # sums <= 2^16-1 — all exactly representable in f32.  The
+            # caller combines halfword pairs into ops.bitpack.pack_states'
+            # u32 words
+            W16 = H // 16
+            hh = jax.lax.broadcasted_iota(jnp.int32, (H, W16), 0)
+            ww = jax.lax.broadcasted_iota(jnp.int32, (H, W16), 1)
+            P16 = jnp.where(hh // 16 == ww,
+                            (jnp.int32(1) << (hh % 16)).astype(jnp.float32),
+                            0.0)
+            words16 = jnp.dot(sf2, P16, preferred_element_type=jnp.float32)
+            keys_ref[0][:] = words16.astype(jnp.int32).reshape(bb, K, W16)
+
     return _kernel
 
 
-@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@partial(jax.jit, static_argnames=("block_rows", "interpret", "emit_keys"))
 def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
-                   interpret: bool = False):
+                   interpret: bool = False, emit_keys: bool = False):
     """ss: int8 0/1 [B, K, H] (the framework's device state representation;
     bool inputs are cast — int8 avoids the pred->s8 HBM round-trip and the
     f32 cast happens in VMEM) OR lane-major packed uint8 [B, K, H/8]
     (EAConfig.packed_states: unpacked entirely in VMEM — the 8x-smaller HBM
     read is the fastest path); Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
-    (shared Gram, complete data).  Returns lpj f32 [B, K].
+    (shared Gram, complete data).  Returns lpj f32 [B, K] — or, with
+    emit_keys, (lpj, key words int32 [B, K, ceil(H/32)] bit-identical to
+    ops.bitpack.pack_states of the same states, so callers skip the
+    separate HBM pass that would otherwise recompute them for dedup).
 
     Requires B % block_rows == 0; H should be a multiple of 128 for full
     lane utilization (callers gate on this)."""
@@ -85,10 +106,21 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
     bb = block_rows
     grid = (B // bb,)
     scal = jnp.stack([pre1, pil_bar]).astype(jnp.float32).reshape(1, 2)
+    if emit_keys:
+        assert H % 32 == 0, H
+    W16 = H // 16 if emit_keys else 0
 
-    return pl.pallas_call(
-        _make_kernel(packed),
-        out_shape=jax.ShapeDtypeStruct((B, K), jnp.float32),
+    out_shape = jax.ShapeDtypeStruct((B, K), jnp.float32)
+    out_specs = pl.BlockSpec((bb, K), lambda i: (i, 0))
+    if emit_keys:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, K, W16), jnp.int32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((bb, K, W16), lambda i: (i, 0, 0)))
+
+    out = pl.pallas_call(
+        _make_kernel(packed, emit_keys),
+        out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -100,13 +132,19 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
                 pl.BlockSpec((bb, 1), lambda i: (i, 0)),
                 pl.BlockSpec((H, H), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((bb, K), lambda i: (i, 0)),
+            out_specs=out_specs,
         ),
         interpret=interpret,
     )(scal,
       ss if ss.dtype in (jnp.int8, jnp.uint8) else ss.astype(jnp.int8),
       Wty.astype(jnp.float32),
       y2.astype(jnp.float32).reshape(B, 1), G.astype(jnp.float32))
+    if emit_keys:
+        lpj, words16 = out  # [B, K, H/16] int32, values in [0, 2^16)
+        lo = words16[..., 0::2].astype(jnp.uint32)
+        hi = words16[..., 1::2].astype(jnp.uint32)
+        return lpj, lo | (hi << 16)  # == ops.bitpack.pack_states(ss)
+    return out
 
 
 def pallas_lpj_applicable(B: int, K: int, H: int, incomplete: bool,

@@ -130,10 +130,11 @@ def evolve_states_block(
     keys_b: jax.Array,  # [B] PRNG keys (one per datapoint)
     ss_b: jnp.ndarray,  # [B, S, H] int8/bool — or packed u8 [B, S, H/8]
     lpj_b: jnp.ndarray,  # [B, S]
-    lpj_fn_block: Callable,  # [B, C, H or H/8] -> ([B, C], aux)
+    lpj_fn_block: Callable,  # [B, C, H or H/8] -> ([B, C], dkeys|None, aux)
     cfg: EAConfig,
     sparseness,  # pi*H of the current model (dynamic scalar)
     packed: bool = False,
+    ss_dkeys=None,  # [B, S, W] u32 — precomputed dedup keys of ss_b
 ):
     """Block-level `evolve_states`: numerically identical to
     ``vmap(evolve_states)`` over the batch (same per-datapoint RNG stream,
@@ -148,8 +149,12 @@ def evolve_states_block(
     mutation, and only the tiny per-datapoint parent sets are ever unpacked
     — candidate state arrays never materialize unpacked in HBM.
 
-    ``lpj_fn_block`` returns (lpj [B, C], aux); the aux values (e.g. lpj
-    reset counters) are collected into a list and returned alongside.
+    ``lpj_fn_block`` returns (lpj [B, C], dkeys, aux): dkeys is either the
+    children's dedup keys ([B, C, W] u32, e.g. emitted by the Pallas lpj
+    kernel from the states already in VMEM) or None (computed here from
+    the states); aux values (e.g. lpj reset counters) are collected into a
+    list and returned alongside.  ``ss_dkeys`` similarly short-circuits
+    the seen-set initialization keys of ss_b.
 
     Returns (children [B,T,Hrep], child_lpj [B,T] with -inf at duplicates,
     new_unique [B,T], child_lpj_raw [B,T], aux_list).
@@ -171,7 +176,11 @@ def evolve_states_block(
     mutate = MUTATION_FNS[cfg.mutation_algorithm]
     cap = cfg.S_perm + S + T
 
-    def init_seen(ss_n):
+    if ss_dkeys is None:
+        ss_dkeys = jax.vmap(keys_of)(ss_b)
+    assert ss_dkeys.shape == (B, S, W), (ss_dkeys.shape, (B, S, W))
+
+    def init_seen(kk):
         seen_keys = jnp.zeros((cap, W), dtype=jnp.uint32)
         seen_valid = jnp.zeros((cap,), dtype=bool)
         if cfg.allzero:
@@ -180,12 +189,12 @@ def evolve_states_block(
             seen_keys = seen_keys.at[0:1].set(zero_key)
             seen_valid = seen_valid.at[0].set(True)
         seen_keys = jax.lax.dynamic_update_slice(
-            seen_keys, keys_of(ss_n), (cfg.S_perm, 0))
+            seen_keys, kk, (cfg.S_perm, 0))
         seen_valid = jax.lax.dynamic_update_slice(
             seen_valid, jnp.ones((S,), bool), (cfg.S_perm,))
         return seen_keys, seen_valid
 
-    seen_keys, seen_valid = jax.vmap(init_seen)(ss_b)
+    seen_keys, seen_valid = jax.vmap(init_seen)(ss_dkeys)
     pool_states, pool_lpj = ss_b, lpj_b
     out_states, out_lpj, out_new, out_raw, aux_list = [], [], [], [], []
 
@@ -214,13 +223,15 @@ def evolve_states_block(
 
         children = jax.vmap(sel_mut)(keys_b, pool_states, pool_lpj)
         assert children.shape == (B, C, Hrep)
-        child_lpj, aux = lpj_fn_block(children)
+        child_lpj, cdkeys, aux = lpj_fn_block(children)
         aux_list.append(aux)
+        if cdkeys is None:
+            cdkeys = jax.vmap(keys_of)(children)
+        assert cdkeys.shape == (B, C, W), (cdkeys.shape, (B, C, W))
 
         off = cfg.S_perm + S + g * C
 
-        def dedup_one(children_n, seen_k, seen_v):
-            ckeys = keys_of(children_n)
+        def dedup_one(ckeys, seen_k, seen_v):
             is_dup = dup_against(ckeys, seen_k, seen_v) | dup_within(ckeys)
             new_unique = ~is_dup
             seen_k = jax.lax.dynamic_update_slice(seen_k, ckeys, (off, 0))
@@ -228,7 +239,7 @@ def evolve_states_block(
             return new_unique, seen_k, seen_v
 
         new_unique, seen_keys, seen_valid = jax.vmap(dedup_one)(
-            children, seen_keys, seen_valid)
+            cdkeys, seen_keys, seen_valid)
 
         out_states.append(children)
         out_lpj.append(jnp.where(new_unique, child_lpj, NEG_INF))

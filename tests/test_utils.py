@@ -70,6 +70,68 @@ def test_extract_random_patches(rng):
     assert np.isfinite(P).all()
 
 
+def test_patch_merge_stride_gt1_roundtrip(rng):
+    """patch_shift > 1: identity patches must reconstruct every pixel the
+    patch grid covers, for both mergers (previously only stride 1 was
+    tested).  Image sized so the grid tiles it exactly."""
+    img = rng.random((13, 11))  # (13-3)/2+1=6, (11-3)/2+1=5 -> full cover
+    ovp = OverlappingPatches(img, 3, 3, patch_shift=2)
+    Y = ovp.get()
+    assert Y.shape == (9, 6 * 5)
+    for merger in (mean_merger, median_merger):
+        rec = ovp.set_and_merge(Y, merge_method=merger)
+        np.testing.assert_allclose(rec, img, rtol=1e-10)
+
+
+def test_patch_merge_stride_gt1_median_overlap():
+    """Hand-computed median at an overlapped pixel under stride 2: pixel
+    (2, 2) of an 5x5 image with 3x3 patches at stride 2 is covered by all
+    four patches; feed per-patch constants and check the median."""
+    img = np.zeros((5, 5))
+    ovp = OverlappingPatches(img, 3, 3, patch_shift=2)
+    assert ovp.num_patches == 4
+    vals = np.array([1.0, 2.0, 7.0, 9.0])
+    Y = np.zeros((9, 4))
+    Y[:] = vals[None, :]  # patch k is constant vals[k]
+    rec_med = ovp.set_and_merge(Y, merge_method=median_merger)
+    rec_mean = ovp.set_and_merge(Y, merge_method=mean_merger)
+    # center pixel covered by all 4 patches
+    assert rec_med[2, 2] == np.median(vals)
+    assert rec_mean[2, 2] == vals.mean()
+    # corner pixel covered only by its one patch
+    assert rec_med[0, 0] == 1.0 and rec_mean[4, 4] == 9.0
+
+
+def test_patch_merge_stride_uncovered_pixels_are_nan(rng):
+    """When the stride grid does not tile the image, the uncovered border
+    is NaN after merging (documented behavior: merging only reconstructs
+    covered pixels; the reference drivers always use stride 1 / exact
+    tilings)."""
+    img = rng.random((6, 6))  # (6-3)/2+1=2 -> covers rows/cols 0..4 only
+    ovp = OverlappingPatches(img, 3, 3, patch_shift=2)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        rec = ovp.set_and_merge(ovp.get(), merge_method=mean_merger)
+    np.testing.assert_allclose(rec[:5, :5], img[:5, :5], rtol=1e-10)
+    assert np.isnan(rec[5, :]).all() and np.isnan(rec[:, 5]).all()
+
+
+def test_multidim_patches_stride_and_channel_order(rng):
+    """MultiDim with stride 2: round-trip and per-channel block layout
+    (channel c occupies rows [c*ph*pw, (c+1)*ph*pw) of the patch vector,
+    the contract the inpainting driver's per-channel masks rely on)."""
+    img = rng.random((9, 9, 2))
+    ovp = MultiDimOverlappingPatches(img, 3, 3, patch_shift=2)
+    Y = ovp.get()
+    assert Y.shape == (18, 16)
+    np.testing.assert_allclose(Y[:9, 0], img[0:3, 0:3, 0].reshape(-1))
+    np.testing.assert_allclose(Y[9:, 0], img[0:3, 0:3, 1].reshape(-1))
+    rec = ovp.set_and_merge(Y, merge_method=median_merger)
+    np.testing.assert_allclose(rec, img, rtol=1e-10)
+
+
 def test_psnr():
     clean = np.full((8, 8), 100.0)
     assert psnr(clean, clean + 10.0, data_range=255) == pytest.approx(
