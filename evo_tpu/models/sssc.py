@@ -83,16 +83,16 @@ class SSSC:
         y_host ([N, D] host copy, pre-padding) to avoid a device->host
         readback."""
         if y_host is not None:
-            y = np.asarray(y_host).reshape(-1, self.D)
-            pad = data.y.shape[0] * data.y.shape[1] - y.shape[0]
-            if pad:
-                y = np.concatenate([y, np.zeros((pad, self.D), y.dtype)], axis=0)
-            y = np.where(np.isnan(y), 0.0, y)
+            # fully host-side — masks from the NaN markers; no device
+            # readback (see the note in BSC.standard_init)
+            y_raw = np.asarray(y_host).reshape(-1, self.D)
+            m = ~np.isnan(y_raw)
+            y = np.where(m, y_raw, 0.0)
         else:
             y = np.asarray(data.y).reshape(-1, self.D)
-        m = np.asarray(data.x_infr).reshape(-1, self.D)
-        valid = np.asarray(data.row_valid).reshape(-1)
-        y, m = y[valid], m[valid]
+            m = np.asarray(data.x_infr).reshape(-1, self.D)
+            valid = np.asarray(data.row_valid).reshape(-1)
+            y, m = y[valid], m[valid]
         N = y.shape[0]
         rng = np.random.default_rng(seed)
 

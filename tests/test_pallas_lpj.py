@@ -33,3 +33,67 @@ def test_pallas_gating():
     assert not pallas_lpj_applicable(4096, 64, 256, incomplete=False)
     # incomplete data: never
     assert not pallas_lpj_applicable(4096, 64, 256, incomplete=True)
+
+
+def test_pallas_lpj_emit_keys_matches_pack_states(rng):
+    """The key words emitted by the kernel (exact f32 MXU packing into
+    16-bit halfwords, combined outside) must equal ops.bitpack.pack_states
+    bit-for-bit."""
+    from evo_tpu.ops.bitpack import pack_states
+
+    B, K, H = 128, 16, 256
+    ss = jnp.asarray(rng.random((B, K, H)) < 0.3, jnp.int8)
+    G = jnp.asarray(np.eye(H, dtype=np.float32))
+    Wty = jnp.zeros((B, H), jnp.float32)
+    y2 = jnp.zeros((B,), jnp.float32)
+    lpj, keys = bsc_lpj_pallas(ss, Wty, y2, G, jnp.float32(-0.5),
+                               jnp.float32(-1.0), interpret=True,
+                               emit_keys=True)
+    want = np.asarray(pack_states(ss))
+    np.testing.assert_array_equal(np.asarray(keys), want)
+
+
+def test_pallas_lpj_packed_input_matches_unpacked(rng):
+    """Lane-major bit-packed input (VMEM unpack) must give the same lpj as
+    the int8 input."""
+    from evo_tpu.ops.bitpack import pack_bits_lane
+
+    B, K, H = 128, 16, 256
+    ss_bool = rng.random((B, K, H)) < 0.15
+    ss = jnp.asarray(ss_bool, jnp.int8)
+    pk = pack_bits_lane(jnp.asarray(ss_bool))
+    assert pk.dtype == jnp.uint8 and pk.shape == (B, K, H // 8)
+    W = rng.standard_normal((H, H)).astype(np.float32)
+    G = jnp.asarray(W.T @ W)
+    Wty = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    y2 = jnp.asarray((rng.standard_normal(B).astype(np.float32)) ** 2)
+    a = bsc_lpj_pallas(ss, Wty, y2, G, jnp.float32(-0.4), jnp.float32(-1.5),
+                       interpret=True)
+    b = bsc_lpj_pallas(pk, Wty, y2, G, jnp.float32(-0.4), jnp.float32(-1.5),
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_suffstat_matches_einsum(rng):
+    """rho / |s| / Wq from the fused kernel vs the XLA einsums, for both
+    the int8 and the lane-major packed input paths."""
+    from evo_tpu.ops.bitpack import pack_bits_lane
+    from evo_tpu.ops.pallas_suffstat import bsc_suffstat_pallas
+
+    B, S, H = 128, 12, 256
+    ss_bool = rng.random((B, S, H)) < 0.2
+    rs = jnp.asarray(rng.random((B, S)).astype(np.float32))
+    sf = jnp.asarray(ss_bool, jnp.float32)
+    want_rho = jnp.einsum("bs,bsh->bh", rs, sf)
+    want_wq = jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf,
+                         precision=jax.lax.Precision.HIGHEST)
+    want_sabs = jnp.sum(sf, axis=-1)
+
+    for inp in (jnp.asarray(ss_bool, jnp.int8),
+                pack_bits_lane(jnp.asarray(ss_bool))):
+        rho, sabs, Wq = bsc_suffstat_pallas(inp, rs, H=H, interpret=True)
+        np.testing.assert_allclose(np.asarray(rho), np.asarray(want_rho),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(sabs), np.asarray(want_sabs))
+        np.testing.assert_allclose(np.asarray(Wq), np.asarray(want_wq),
+                                   rtol=1e-4, atol=1e-3)
