@@ -121,9 +121,31 @@ class EMTrainer:
 def gather_reconstruction(y_rec, N: int) -> np.ndarray:
     """Blocked device reconstruction [nb, B, D] -> host [N, D] (drops
     padding rows); the jax analog of the reference's Gatherv
-    (parallel.py:154-173).  Multi-process sharded arrays come back whole via
-    gather_global."""
+    (parallel.py:154-173).
+
+    Multi-process: the global blocked array's B axis holds process 0's
+    rows, then process 1's, ... per block (make_global_data assembles
+    process-local shards that way), while each process's own flat row order
+    is block-major.  De-interleave to the concatenation of the processes'
+    flat local orders — [p0 rows..., p1 rows..., ...] — which is the order
+    a caller that indexes with global row ids (process offset + local
+    index) expects; N is then the GLOBAL row count."""
+    import jax
+
     from evo_tpu.parallel import gather_global
 
     arr = gather_global(y_rec)
-    return arr.reshape(-1, arr.shape[-1])[:N]
+    P = jax.process_count()
+    if P > 1:
+        arr = deinterleave_processes(arr, P)
+    return arr.reshape((-1, arr.shape[-1]))[:N]
+
+
+def deinterleave_processes(arr: np.ndarray, P: int) -> np.ndarray:
+    """[nb, B_global, ...] with each block's B axis = [p0 rows | p1 rows |
+    ...] -> [P, nb, B_local, ...], so a flat reshape yields the
+    concatenation of the processes' own block-major row orders."""
+    nb, B_global = arr.shape[:2]
+    assert B_global % P == 0, (B_global, P)
+    arr = arr.reshape((nb, P, B_global // P) + arr.shape[2:])
+    return np.moveaxis(arr, 1, 0)

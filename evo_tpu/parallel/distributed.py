@@ -77,7 +77,11 @@ def init_distributed(
         or num_processes is not None
         or any(os.environ.get(k) for k in _ENV_TRIGGERS)
     )
-    if want and jax.process_count() == 1:
+    # IMPORTANT: do not touch jax.process_count() (or any device API) before
+    # deciding — it initializes the XLA backend, after which
+    # jax.distributed.initialize() unconditionally raises.  The idempotency
+    # guard must come from the distributed-client state itself.
+    if want and not jax.distributed.is_initialized():
         kwargs = {}
         if coordinator_address is not None:
             kwargs["coordinator_address"] = coordinator_address

@@ -41,6 +41,10 @@ def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> 
     if ss.dtype == np.uint8:  # already bit-packed (EAConfig.packed_states)
         blobs["estate_ss_packed"] = ss
         blobs["estate_ss_H"] = np.asarray(-1)  # sentinel: keep packed
+        # the persistent packed layout is LANE-major (ops.bitpack); mark it
+        # so checkpoints from the earlier byte-major format are converted
+        # rather than silently bit-scrambled on load
+        blobs["packed_format"] = np.asarray("lane")
     else:
         blobs["estate_ss_packed"] = np.packbits(ss, axis=-1, bitorder="little")
         blobs["estate_ss_H"] = np.asarray(ss.shape[-1])
@@ -71,7 +75,22 @@ def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]
 
         H = int(z["estate_ss_H"])
         if H == -1:  # stored packed (EAConfig.packed_states)
-            ss = jnp.asarray(z["estate_ss_packed"])
+            packed = np.asarray(z["estate_ss_packed"])
+            fmt = str(z["packed_format"]) if "packed_format" in z else "byte"
+            if fmt != "lane":
+                # checkpoint from the byte-major (np.packbits) era: convert
+                # to the lane-major layout the kernels consume.  Trailing
+                # pad bits are zero in both layouts, so converting at the
+                # full byte width is lossless for any H
+                import numpy as _np
+
+                from evo_tpu.ops.bitpack import pack_bits_lane_host
+
+                shifts = _np.arange(8, dtype=_np.uint8)
+                bits = (packed[..., None] >> shifts) & _np.uint8(1)
+                bits = bits.reshape(packed.shape[:-1] + (-1,)).astype(bool)
+                packed = pack_bits_lane_host(bits)
+            ss = jnp.asarray(packed)
         else:
             # int8 = the device representation for unpacked states
             ss = unpack_bits_u8(

@@ -42,10 +42,14 @@ class EState:
 def full_state_matrix(H: int) -> np.ndarray:
     """All 2^H binary states, ordered by number of ON bits then combination
     order — the reference's `sm` enumeration (utils.py:57-69), used for exact
-    E-steps and exact likelihoods (H < 12)."""
-    # the reference asserts H < 12 for the enumeration (utils.py:72); the
-    # row-by-row build below is the practical limit, so mirror that bound
-    assert H < 12, "full enumeration too large for H={}".format(H)
+    E-steps and exact likelihoods.
+
+    Bound: the reference asserts H < 12 for its exact E-step mode
+    (utils.py:72) and init_states mirrors that; the enumeration itself is
+    practical somewhat beyond (2^16 x 16 bool = 1 MB), so the exact
+    free-energy oracle keeps working up to H = 16.  The old H < 22 bound
+    allowed a 44 GB array — that is the failure this guard prevents."""
+    assert H <= 16, "full enumeration too large for H={}".format(H)
     rows = []
     for g in range(H + 1):
         for comb in combinations(range(H), g):

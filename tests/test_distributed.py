@@ -106,3 +106,38 @@ def test_gather_global_roundtrip():
     g = make_global_array(a, mesh)
     np.testing.assert_array_equal(gather_global(g), a)
     np.testing.assert_array_equal(gather_to_host(g), a)
+
+
+def test_deinterleave_processes_restores_flat_order():
+    """The global blocked array holds [p0 | p1 | ...] segments per block;
+    de-interleaving must produce the concatenation of the processes' own
+    flat (block-major) row orders (code-review regression: the plain
+    flatten mapped reconstruction rows to the wrong patches)."""
+    from evo_tpu.apps.training import deinterleave_processes
+
+    P, nb, B_local, D = 3, 2, 4, 5
+    # each process p's local flat rows are labeled p*1000 + i
+    locals_ = [
+        (np.arange(nb * B_local) + p * 1000).reshape(nb, B_local)
+        for p in range(P)
+    ]
+    # global assembly: per block, concat the processes' block rows
+    glob = np.concatenate([loc for loc in locals_], axis=1)  # [nb, P*B_local]
+    glob = glob[..., None] * np.ones((1, 1, D))
+    out = deinterleave_processes(glob, P)
+    flat = out.reshape(-1, D)
+    want = np.concatenate([loc.reshape(-1) for loc in locals_])
+    np.testing.assert_array_equal(flat[:, 0], want)
+
+
+def test_init_distributed_checks_client_not_backend():
+    """init_distributed must consult jax.distributed.is_initialized() (the
+    old jax.process_count() guard initialized the XLA backend first, after
+    which jax.distributed.initialize() always raises)."""
+    import inspect
+
+    from evo_tpu.parallel.distributed import init_distributed
+
+    src = inspect.getsource(init_distributed)
+    assert "jax.distributed.is_initialized" in src
+    assert "process_count() == 1" not in src

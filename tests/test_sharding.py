@@ -205,3 +205,38 @@ def test_multi_epoch_sharded_training():
     np.testing.assert_allclose(np.asarray(params.W), np.asarray(params_s.W),
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(estate.ss), np.asarray(estate_s.ss))
+
+
+def test_checkpoint_converts_byte_major_packed(tmp_path):
+    """Packed checkpoints written before the lane-major format switch are
+    byte-major (np.packbits); loading must convert, not bit-scramble
+    (code-review regression)."""
+    import numpy as np
+
+    from evo_tpu.utils.checkpoint import load_checkpoint
+    from evo_tpu.models.bsc import BSCParams
+    from evo_tpu.ops.bitpack import unpack_bits_lane
+
+    H, S, N = 9, 4, 8
+    rng = np.random.default_rng(0)
+    ss_bool = rng.random((1, N, S, H)) < 0.4
+    packed_byte = np.packbits(ss_bool, axis=-1, bitorder="little")
+    params = BSCParams(W=jnp.zeros((3, H)), pi=jnp.asarray(0.1),
+                       sigma=jnp.asarray(1.0), pies=jnp.full((H,), 0.1))
+    blobs = {
+        "params" + "/" + k: np.asarray(v)
+        for k, v in [("W", params.W), ("pi", params.pi),
+                     ("sigma", params.sigma), ("pies", params.pies)]
+    }
+    blobs["estate_ss_packed"] = packed_byte
+    blobs["estate_ss_H"] = np.asarray(-1)  # old sentinel, NO packed_format
+    blobs["estate_lpj"] = np.zeros((1, N, S), np.float32)
+    blobs["epoch"] = np.asarray(2)
+    blobs["rng_key"] = np.asarray(jax.random.key_data(jax.random.key(0)))
+    path = str(tmp_path / "old.npz")
+    np.savez_compressed(path, **blobs)
+
+    _, estate, epoch, _ = load_checkpoint(path, params_like=params)
+    assert estate.ss.dtype == jnp.uint8
+    got = np.asarray(unpack_bits_lane(estate.ss, H))
+    np.testing.assert_array_equal(got, ss_bool)
