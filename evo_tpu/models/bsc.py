@@ -306,12 +306,10 @@ class BSC:
         M-step consumes the merged lpj/ss; with incomplete data the M-step's
         Wp accumulator uses the reconstructed data (bsc.py:185-189).
 
-        Note: with incomplete data AND x != x_infr (re-estimating observed
-        entries), the sigma update recovers the residual from the lpj, i.e.
-        over x_infr entries of the ORIGINAL y; the reference computes it
-        from y_reconstructed (bsc.py:214-217).  Identical when x == x_infr —
-        the inpainting setup and the only configuration the example drivers
-        produce.
+        With incomplete data the sigma residual is computed from
+        y_RECONSTRUCTED over x_infr, exactly as the reference does
+        (bsc.py:184-218) — including when x != x_infr (re-estimating
+        observed entries).
         """
         if data.incomplete and not do_reconstruction:
             # the reference asserts the same precondition (bsc.py:185-189):
@@ -392,18 +390,31 @@ class BSC:
             # ---- M-step accumulators (reference bsc.py:173-223)
             y_m = y_rec if (data.incomplete and do_reconstruction) else y_b
             Wp = jnp.einsum("bh,bd->hd", rho, y_m)
-            # sigma: sum_s r * ||m.*(y - Ws)||^2 recovered from the lpj
-            # (residual^2 = (lpj - pil_bar*|s|)/pre1) + allzero term.
-            # Reset-clamped lpj values (floor = finfo.min) would poison this
-            # reconstruction — mask them (their posterior weight is ~0) and
-            # clip to the physical range
-            lpj_s = lpj_full[:, S_perm:]
-            ok = lpj_s > 0.5 * jnp.asarray(eps_lpj(dt), dt)
-            resid2 = jnp.clip((lpj_s - pre["pil_bar"] * s_abs) / pre["pre1"],
-                              0.0, None)
-            sig = jnp.sum(jnp.where(ok, rs * resid2, 0.0))
-            if cfg.allzero:
-                sig = sig + jnp.sum(r[:, 0] * y2_b)
+            if data.incomplete and do_reconstruction:
+                # reference semantics exactly (bsc.py:184-218): with
+                # incomplete data the sigma residual is computed from
+                # y_RECONSTRUCTED over the x_infr dims (identical to the
+                # lpj shortcut below iff x == x_infr, exact in general) —
+                # `means` is already on hand from the reconstruction
+                m_f = xinf_b.astype(dt)
+                dy = (y_rec[:, None, :] - means) * m_f[:, None, :]
+                sig = jnp.sum(rs * jnp.sum(dy * dy, axis=-1))
+                if cfg.allzero:
+                    sig = sig + jnp.sum(
+                        r[:, 0] * jnp.sum((y_rec * y_rec) * m_f, axis=-1))
+            else:
+                # sigma: sum_s r * ||m.*(y - Ws)||^2 recovered from the lpj
+                # (residual^2 = (lpj - pil_bar*|s|)/pre1) + allzero term.
+                # Reset-clamped lpj values (floor = finfo.min) would poison
+                # this reconstruction — mask them (their posterior weight
+                # is ~0) and clip to the physical range
+                lpj_s = lpj_full[:, S_perm:]
+                ok = lpj_s > 0.5 * jnp.asarray(eps_lpj(dt), dt)
+                resid2 = jnp.clip(
+                    (lpj_s - pre["pil_bar"] * s_abs) / pre["pre1"], 0.0, None)
+                sig = jnp.sum(jnp.where(ok, rs * resid2, 0.0))
+                if cfg.allzero:
+                    sig = sig + jnp.sum(r[:, 0] * y2_b)
 
             acc = dict(
                 Wp=acc["Wp"] + Wp,

@@ -279,10 +279,10 @@ class SSSC:
         E-step + expectations + optional reconstruction + M-step in a single
         jitted scan.  Returns (new_params, new_estate, stats, y_rec|None).
 
-        Note: with incomplete data AND x != x_infr, the y2sum fed to the
-        sigma2 update is over x_infr entries of the ORIGINAL y, where the
-        reference uses y_reconstructed (sssc.py:744-770).  Identical when
-        x == x_infr (the inpainting setup, and what the drivers produce).
+        The sigma2 update's y2sum runs over x_infr entries of the ORIGINAL
+        y — which is exactly what the reference does too (its my_y_inner at
+        sssc.py:752 reads my_data["y"], assigned at sssc.py:456; only the
+        Wp accumulator consumes y_reconstructed, sssc.py:630-634).
         """
         if data.incomplete and not do_reconstruction:
             # mirror of the reference's precondition (sssc.py:630-634 uses

@@ -195,3 +195,52 @@ def test_sssc_exact_em_step_matches_reference(ref_modules, rng):
     np.testing.assert_allclose(np.asarray(new_params.Psi), theta_r["Psi"],
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(float(new_params.sigma2), theta_r["sigma2"], rtol=1e-8)
+
+
+def test_bsc_incomplete_x_subset_xinfr_matches_reference(ref_modules, rng):
+    """x strictly smaller than x_infr (re-estimating some observed
+    entries): the sigma update must follow the reference in computing the
+    residual from y_RECONSTRUCTED over x_infr (bsc.py:184-218) — the two
+    masks agreeing was previously the only tested configuration."""
+    ref_models, ref_vutils = ref_modules
+    D, H, N = 7, 5, 16
+    S = 2**H
+    W0, Y = _problem(rng, D, H, N)
+    x_infr = rng.random((N, D)) < 0.85
+    x_infr[:, 0] = True
+    x = x_infr & (rng.random((N, D)) < 0.7)  # re-estimate ~30% of observed
+    Y_nan = np.where(x_infr, Y, np.nan)
+    pi0, sigma0 = 0.25, 1.2
+
+    model_r = ref_models.BSC(D, H, S)
+    theta_r = {"W": W0.copy(), "pi": pi0, "sigma": sigma0}
+    suff_r = ref_vutils.init_states(N, S, H, "fit", "randflip", 4, 1, 1)
+    data_r = {"y": np.where(x_infr, Y, 0.0), "x_infr": x_infr.copy(),
+              "x": x.copy()}
+    F_r, _, _, theta_r = model_r.step(theta_r, suff_r, data_r,
+                                      do_reconstruction=True)
+
+    from evo_tpu.models.bsc import BSC, BSCParams
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states
+
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+
+        model = BSC(D=D, H=H)
+        params = BSCParams(W=jnp.asarray(W0), pi=jnp.asarray(pi0),
+                           sigma=jnp.asarray(sigma0), pies=jnp.full((H,), pi0))
+        data = make_data(Y_nan, x=x, dtype=jnp.float64)
+        assert data.incomplete
+        cfg, estate = init_states(N=N, S=S, H=H, dtype=jnp.float64)
+        new_params, estate, stats, y_rec = model.em_step(
+            params, estate, data, jax.random.key(0), cfg,
+            do_reconstruction=True)
+
+    np.testing.assert_allclose(float(stats.F), F_r, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(y_rec).reshape(N, D), data_r["y_reconstructed"], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(new_params.W), theta_r["W"],
+                               rtol=1e-7)
+    np.testing.assert_allclose(float(new_params.sigma), theta_r["sigma"],
+                               rtol=1e-9)
