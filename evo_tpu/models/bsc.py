@@ -37,12 +37,17 @@ import jax
 import jax.numpy as jnp
 
 from evo_tpu.models.base import Data, StepStats, block_gram
-from evo_tpu.ops.bitpack import pack_bits_lane, unpack_bits_lane
+from evo_tpu.ops.bitpack import (
+    finalize_keys,
+    pack_bits_lane,
+    unpack_bits_lane,
+)
 from evo_tpu.ops.numerics import (
     eps_lpj,
     free_energy_from_lpj,
     posterior_weights,
     reset_lpj,
+    shifted_logsumexp,
 )
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states_block
@@ -237,8 +242,6 @@ class BSC:
                     lpj, raw = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
                                               pre["pre1"], pre["pil_bar"],
                                               emit_keys=True)
-                    from evo_tpu.ops.bitpack import finalize_keys
-
                     dkeys = finalize_keys(raw)
                 else:
                     lpj = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
@@ -358,8 +361,6 @@ class BSC:
 
             vf = valid_b.astype(dt)
             # ---- free energy contribution (post-merge, old params)
-            from evo_tpu.ops.numerics import shifted_logsumexp
-
             Fsum = jnp.sum(shifted_logsumexp(lpj_full) * vf)
 
             # ---- responsibilities
@@ -527,8 +528,6 @@ class BSC:
                 in_axes=(g_axis, 0, 0),
             )(G_b, Wty_b, y2_b)
             lpj, _ = reset_lpj(lpj)
-            from evo_tpu.ops.numerics import shifted_logsumexp
-
             return Fsum + jnp.sum(shifted_logsumexp(lpj) * valid_b.astype(lpj.dtype)), None
 
         Fsum, _ = jax.lax.scan(

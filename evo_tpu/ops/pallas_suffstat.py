@@ -24,13 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from evo_tpu.ops.pallas_lpj import unpack_lane_f32
+
 
 def _make_kernel(packed: bool, H: int):
     def _kernel(ss_ref, rs_ref, rho_ref, sabs_ref, wq_ref):
         bb, S = ss_ref.shape[:2]
         if packed:
-            from evo_tpu.ops.pallas_lpj import unpack_lane_f32
-
             sf = unpack_lane_f32(ss_ref[:])  # [bb, S, H] in VMEM
         else:
             sf = ss_ref[:].astype(jnp.float32)

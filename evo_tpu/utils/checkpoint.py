@@ -82,13 +82,10 @@ def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]
                 # to the lane-major layout the kernels consume.  Trailing
                 # pad bits are zero in both layouts, so converting at the
                 # full byte width is lossless for any H
-                import numpy as _np
-
                 from evo_tpu.ops.bitpack import pack_bits_lane_host
 
-                shifts = _np.arange(8, dtype=_np.uint8)
-                bits = (packed[..., None] >> shifts) & _np.uint8(1)
-                bits = bits.reshape(packed.shape[:-1] + (-1,)).astype(bool)
+                bits = np.unpackbits(
+                    packed, axis=-1, bitorder="little").astype(bool)
                 packed = pack_bits_lane_host(bits)
             ss = jnp.asarray(packed)
         else:

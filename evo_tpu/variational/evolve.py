@@ -32,7 +32,17 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from evo_tpu.ops.bitpack import dedup_keys, dup_within, dup_against, n_words, take_rows
+from evo_tpu.ops.bitpack import (
+    dedup_keys,
+    dedup_keys_packed,
+    dup_against,
+    dup_within,
+    n_bytes_lane,
+    n_words,
+    pack_bits_lane,
+    take_rows,
+    unpack_bits_lane,
+)
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.mutation import MUTATION_FNS
 from evo_tpu.variational.selection import select_idx
@@ -159,13 +169,6 @@ def evolve_states_block(
     Returns (children [B,T,Hrep], child_lpj [B,T] with -inf at duplicates,
     new_unique [B,T], child_lpj_raw [B,T], aux_list).
     """
-    from evo_tpu.ops.bitpack import (
-        dedup_keys_packed,
-        n_bytes_lane,
-        pack_bits_lane,
-        unpack_bits_lane,
-    )
-
     B, S, Hrep = ss_b.shape
     H = cfg.H
     assert Hrep == (n_bytes_lane(H) if packed else H), (ss_b.shape, H)
