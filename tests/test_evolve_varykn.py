@@ -227,3 +227,43 @@ def test_whole_set_em_step_runs_and_counts(rng):
         assert np.isfinite(float(stats.F))
     # sanity on counters: S_sub == S_nunique in whole-set mode
     assert float(stats.S_sub) == float(stats.S_nunique)
+
+
+def test_evolve_states_block_equals_vmapped_per_datapoint(rng):
+    """evolve_states_block must be numerically identical to
+    vmap(evolve_states) — same per-datapoint RNG stream, same dedup
+    bookkeeping — across operators and multiple generations."""
+    import jax
+
+    from evo_tpu.variational.config import EAConfig
+    from evo_tpu.variational.evolve import evolve_states, evolve_states_block
+
+    B, S, H = 16, 6, 12
+    for op, n_gen in (("randflip", 1), ("sparseflip", 2),
+                      ("cross_randflip", 3)):
+        cfg = EAConfig(S=S, H=H, n_parents=4, n_children=2,
+                       n_generations=n_gen, parent_selection="fit",
+                       mutation_algorithm=op, bitflip_prob=2.0 / H)
+        ss_b = jnp.asarray(np.random.default_rng(0).random((B, S, H)) < 0.3,
+                           jnp.int8)
+        lpj_b = jnp.asarray(
+            np.random.default_rng(1).standard_normal((B, S)), jnp.float32)
+        keys_b = jax.random.split(jax.random.key(5), B)
+        sparseness = jnp.float32(2.0)
+
+        def lpj_fn(states):  # deterministic toy fitness
+            return -jnp.sum(states.astype(jnp.float32), axis=-1) * 0.7
+
+        ch_v, lpj_v, uni_v, raw_v = jax.vmap(
+            lambda k, s, l: evolve_states(k, s, l, lpj_fn, cfg, sparseness)
+        )(keys_b, ss_b, lpj_b)
+
+        ch_b, lpj_bk, uni_b, raw_b, _aux = evolve_states_block(
+            keys_b, ss_b, lpj_b,
+            lambda states_b: (jax.vmap(lpj_fn)(states_b), None, ()),
+            cfg, sparseness)
+
+        np.testing.assert_array_equal(np.asarray(ch_v), np.asarray(ch_b))
+        np.testing.assert_array_equal(np.asarray(lpj_v), np.asarray(lpj_bk))
+        np.testing.assert_array_equal(np.asarray(uni_v), np.asarray(uni_b))
+        np.testing.assert_array_equal(np.asarray(raw_v), np.asarray(raw_b))
