@@ -110,7 +110,7 @@ def main():
         params, estate, stats, _ = model.em_step(
             params, estate, data, jax.random.fold_in(jax.random.key(1), e), cfg
         )
-    jax.block_until_ready(estate.lpj)
+    float(stats.F)  # value readback: ensure warmup completed before timing
 
     # Pipelined stepping (standard JAX practice): enqueue every epoch, block
     # once at the end.  Async dispatch overlaps the host->device command
@@ -124,8 +124,13 @@ def main():
             params, estate, data, jax.random.fold_in(jax.random.key(2), e), cfg
         )
         Fs.append(stats.F)
-    jax.block_until_ready(estate.lpj)
+    # end the timed window on a VALUE readback, not block_until_ready: the
+    # tunneled device has been observed to acknowledge block_until_ready
+    # before the work is done, while materializing the final epoch's F
+    # cannot complete until every enqueued epoch has
+    F_last = float(Fs[-1])
     epoch_s = (time.time() - t0) / EPOCHS
+    assert np.isfinite(F_last)
     for e, F in enumerate(Fs):
         print(f"epoch {e}: F={float(F):.2f}", file=sys.stderr)
     print(f"pipelined: {epoch_s*1000:.1f} ms/epoch over {EPOCHS} epochs",
@@ -148,14 +153,15 @@ def main():
                                     no_children=1, no_generations=1,
                                     n_blocks=NBs, seed=0)
         sparams = smodel.standard_init(sdata, seed=0, y_host=Ys)
-        sp, se, _, _ = smodel.em_step(sparams, sestate, sdata,
-                                      jax.random.key(0), scfg)
-        jax.block_until_ready(se.lpj)
+        sp, se, sstats0, _ = smodel.em_step(sparams, sestate, sdata,
+                                            jax.random.key(0), scfg)
+        float(sstats0.F)  # value readback (see note above)
         t0 = time.time()
+        sstats = None
         for e in range(5):  # pipelined, as for the primary metric
-            sp, se, _, _ = smodel.em_step(sp, se, sdata,
-                                          jax.random.key(1 + e), scfg)
-        jax.block_until_ready(se.lpj)
+            sp, se, sstats, _ = smodel.em_step(sp, se, sdata,
+                                               jax.random.key(1 + e), scfg)
+        float(sstats.F)  # value readback = reliable completion barrier
         print(f"secondary: sssc_em_epoch_time_N16k_H32_S20 = "
               f"{(time.time()-t0)/5:.3f}s", file=sys.stderr)
     except Exception as e:  # never break the primary metric
