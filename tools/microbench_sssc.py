@@ -19,14 +19,26 @@ H = 32
 BATCH = 4096 * 30  # one scan block's worth of state evals (B * (S + children))
 
 
+def _sync(out):
+    """Value readback as the completion barrier: block_until_ready has
+    been observed to return before enqueued work finishes on the tunneled
+    device; materializing an element cannot."""
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.ravel(leaf)[0])
+
+
 def timeit(fn, *args, n=5, name=""):
+    """CAVEAT: repeated calls with IDENTICAL inputs have been observed to
+    be served from a result cache on this machine (apparent throughput far
+    beyond hardware peak).  Cross-check any surprising number against a
+    device trace (tools/profile_epoch.py) before believing it."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     ts = []
     for _ in range(n):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.time() - t0)
     med = float(np.median(ts))
     print(f"{name:45s} {med*1000:9.2f} ms", file=sys.stderr)
@@ -206,10 +218,10 @@ def main():
         return smodel.em_step(p, e, sdata, key, scfg)
 
     sp, se, _, _ = step(sparams, sestate, jax.random.key(0))
-    jax.block_until_ready(se.lpj)
+    _sync(se.lpj)
     t0 = time.time()
     sp2, se2, _, _ = step(sp, se, jax.random.key(1))
-    jax.block_until_ready(se2.lpj)
+    _sync(se2.lpj)
     print(f"sssc em_step full epoch: {(time.time()-t0)*1000:.1f} ms",
           file=sys.stderr)
 
