@@ -35,7 +35,6 @@ a pinv fallback; we catch them with lpj reset clamping downstream).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
