@@ -138,6 +138,17 @@ def gather_reconstruction(y_rec, N: int) -> np.ndarray:
     P = jax.process_count()
     if P > 1:
         arr = deinterleave_processes(arr, P)
+        # per-process padding is unsupported here: after de-interleaving,
+        # pad rows would sit at the end of EACH process segment, so a flat
+        # [:N] slice would drop valid rows of the last process while
+        # keeping earlier processes' pad rows.  make_global_data requires
+        # callers to pad symmetrically and track validity themselves; this
+        # gather only handles the no-padding case
+        total = int(np.prod(arr.shape[:-1]))
+        assert total == N, (
+            f"gather_reconstruction: global rows {total} != N={N}; "
+            "per-process padding is unsupported (pad-free data only)"
+        )
     return arr.reshape((-1, arr.shape[-1]))[:N]
 
 

@@ -322,6 +322,20 @@ class BSC:
                 "incomplete data requires do_reconstruction=True: the M-step "
                 "consumes the reconstructed data for its W update"
             )
+        if self.lpj_kernel == "pallas":
+            # forcing the kernel bypasses the applicability gating — fail
+            # with a clear message instead of an opaque trace-time error
+            if data.incomplete:
+                raise ValueError(
+                    "lpj_kernel='pallas' does not support incomplete data "
+                    "(the per-datapoint Gram does not fit VMEM); use 'auto'"
+                )
+            if self.H % 32 != 0:
+                raise ValueError(
+                    f"lpj_kernel='pallas' requires H % 32 == 0 (got H="
+                    f"{self.H}: the fused dedup-key emission packs 32 "
+                    "latents per word); use 'auto'"
+                )
         params = self.check_params(params)
         pre = self._precompute(params, data)
         nb, B = data.y.shape[:2]

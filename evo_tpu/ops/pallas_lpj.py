@@ -159,6 +159,5 @@ def pallas_lpj_applicable(B: int, K: int, H: int, incomplete: bool,
         B % block_rows == 0
         and H % 128 == 0
         and K >= 2
-        and (block_rows * K) % 8 == 0
         and vmem < 12 * 2**20
     )

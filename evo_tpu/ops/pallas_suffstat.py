@@ -108,6 +108,5 @@ def pallas_suffstat_applicable(B: int, S: int, H: int,
     return (
         B % block_rows == 0
         and H % 128 == 0
-        and (block_rows * S) % 8 == 0
         and vmem < 12 * 2**20
     )

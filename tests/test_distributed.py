@@ -130,14 +130,35 @@ def test_deinterleave_processes_restores_flat_order():
     np.testing.assert_array_equal(flat[:, 0], want)
 
 
-def test_init_distributed_checks_client_not_backend():
-    """init_distributed must consult jax.distributed.is_initialized() (the
-    old jax.process_count() guard initialized the XLA backend first, after
-    which jax.distributed.initialize() always raises)."""
-    import inspect
+def test_init_distributed_skips_when_client_already_up(monkeypatch):
+    """init_distributed must consult jax.distributed.is_initialized() — NOT
+    jax.process_count(), which initializes the XLA backend first, after
+    which jax.distributed.initialize() always raises.  Behavior check: when
+    the client reports initialized, initialize() must not be called even
+    though activation arguments were passed."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    idx, cnt = init_distributed(
+        coordinator_address="localhost:1", num_processes=2, process_id=0
+    )
+    assert calls == []  # skipped: client already up
+    assert (idx, cnt) == (jax.process_index(), jax.process_count())
 
-    from evo_tpu.parallel.distributed import init_distributed
 
-    src = inspect.getsource(init_distributed)
-    assert "jax.distributed.is_initialized" in src
-    assert "process_count() == 1" not in src
+def test_init_distributed_forwards_explicit_args(monkeypatch):
+    """When activation args are given and the client is down, initialize()
+    receives exactly the explicit arguments."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    init_distributed(
+        coordinator_address="localhost:1", num_processes=2, process_id=1
+    )
+    assert calls == [
+        dict(coordinator_address="localhost:1", num_processes=2, process_id=1)
+    ]
