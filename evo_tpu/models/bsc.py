@@ -89,7 +89,25 @@ class BSC:
         """Noisy-data-mean init (reference _models.py:206-283).  The
         reference broadcasts rank-0 random draws; here determinism across
         hosts comes from the shared seed.  Pass y_host (the flat [N, D] host
-        copy of the data, pre-padding) to avoid a device->host readback."""
+        copy of the data, pre-padding; in multi-process runs, this process's
+        LOCAL rows) to avoid a device->host readback.
+
+        Multi-process: statistics are computed from GLOBAL sums
+        (process_allgather of per-process partials) so every process derives
+        the identical Theta^0 — the reference's allmean + rank-0-bcast
+        contract (_models.py:242-276)."""
+        if jax.process_count() > 1:
+            from evo_tpu.parallel.distributed import global_init_stats
+
+            N, y_mean, ss_resid, m_sum = global_init_stats(
+                data, y_host, self.D)
+            if sigma_init is None:
+                # complete data: m_sum == N*D, so this is the usual RMS
+                # residual; incomplete: the reference's masked form
+                sigma_init = float(np.sqrt(ss_resid / m_sum))
+                assert sigma_init > 0.0
+            return self._finish_init(data, y_mean, sigma_init, W_init,
+                                     pi_init, seed)
         if y_host is not None:
             # fully host-side: the observation mask is derivable from the
             # NaN markers, so no device readback happens at all (the first
@@ -117,7 +135,12 @@ class BSC:
             else:
                 sigma_init = np.sqrt(((y - y_mean) ** 2).mean(0).sum() / self.D)
             assert sigma_init > 0.0
+        return self._finish_init(data, y_mean, sigma_init, W_init, pi_init,
+                                 seed)
 
+    def _finish_init(self, data, y_mean, sigma_init, W_init, pi_init, seed):
+        """Shared tail of standard_init: the random draws use the shared
+        seed, so all processes produce identical parameters."""
         rng = np.random.default_rng(seed)
         if not isinstance(W_init, np.ndarray):
             if W_init == "random_uniform":

@@ -80,8 +80,27 @@ class SSSC:
                       sigma_init=None, y_host=None) -> SSSCParams:
         """Random-uniform pies, standard-normal mus, identity Psi, data-mean
         noisy W, data-variance sigma2 (reference sssc.py:104-197).  Pass
-        y_host ([N, D] host copy, pre-padding) to avoid a device->host
-        readback."""
+        y_host ([N, D] host copy, pre-padding; in multi-process runs, this
+        process's LOCAL rows) to avoid a device->host readback.
+
+        Multi-process: statistics come from GLOBAL sums so every process
+        derives the identical Theta^0 (the reference's allmean + bcast
+        contract, sssc.py:122-195)."""
+        if jax.process_count() > 1:
+            from evo_tpu.parallel.distributed import global_init_stats
+
+            N, y_mean, ss_resid, m_sum = global_init_stats(
+                data, y_host, self.D)
+            if sigma_init is None:
+                if data.incomplete:
+                    sigma2 = ss_resid / m_sum + 0.001
+                else:
+                    # reference complete-data form: mean(diag(cov(y.T)))
+                    # with np.cov's ddof=1 normalization (sssc.py:150-160)
+                    sigma2 = ss_resid / (N - 1.0) / self.D + 0.001
+            else:
+                sigma2 = sigma_init
+            return self._finish_init(data, y_mean, sigma2, W_init, seed)
         if y_host is not None:
             # fully host-side — masks from the NaN markers; no device
             # readback (see the note in BSC.standard_init)
@@ -94,11 +113,6 @@ class SSSC:
             valid = np.asarray(data.row_valid).reshape(-1)
             y, m = y[valid], m[valid]
         N = y.shape[0]
-        rng = np.random.default_rng(seed)
-
-        pies = rng.uniform(0.1, 0.5, self.H)
-        mus = rng.normal(0, 1, self.H) if "mus" in self.to_learn else np.ones(self.H)
-        Psi = np.eye(self.H)
 
         if data.incomplete:
             y_mean = (y * m).sum(0) / N  # ref normalizes by N (sssc.py:152)
@@ -112,6 +126,17 @@ class SSSC:
                 sigma2 = float(np.mean(np.diag(np.cov(y.T)))) + 0.001
         else:
             sigma2 = sigma_init
+        return self._finish_init(data, y_mean, sigma2, W_init, seed)
+
+    def _finish_init(self, data, y_mean, sigma2, W_init, seed):
+        """Shared tail of standard_init; the rng consumption order (pies,
+        mus, W) matches the reference so seeded draws are identical on
+        every process."""
+        rng = np.random.default_rng(seed)
+
+        pies = rng.uniform(0.1, 0.5, self.H)
+        mus = rng.normal(0, 1, self.H) if "mus" in self.to_learn else np.ones(self.H)
+        Psi = np.eye(self.H)
 
         if not isinstance(W_init, np.ndarray):
             if W_init == "random_uniform":

@@ -82,6 +82,13 @@ def init_distributed(
     # jax.distributed.initialize() unconditionally raises.  The idempotency
     # guard must come from the distributed-client state itself.
     if want and not jax.distributed.is_initialized():
+        # the CPU backend has no cross-process collectives unless gloo is
+        # selected (the TPU backend rides ICI/DCN natively) — required for
+        # the 2-process CPU test cluster this module documents
+        platforms = jax.config.jax_platforms or os.environ.get(
+            "JAX_PLATFORMS", "")
+        if "cpu" in str(platforms):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         kwargs = {}
         if coordinator_address is not None:
             kwargs["coordinator_address"] = coordinator_address
@@ -190,6 +197,85 @@ def make_global_data(
         row_valid=make_global_array(blk(row_valid), mesh),
         incomplete=incomplete,
     )
+
+
+def allsum_host(*arrays) -> tuple:
+    """Sum each host-side array across all processes (every process gets the
+    global sums) — the reference's `comm.allreduce` for init-time statistics
+    (reference _models.py:242-263 allmean; sssc.py:150-160).  A no-op for
+    single-process runs."""
+    if jax.process_count() == 1:
+        return tuple(np.asarray(a) for a in arrays)
+    from jax.experimental import multihost_utils
+
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        # untiled process_allgather stacks the per-process values along a
+        # new leading axis -> [P, ...]; summing it is the allreduce
+        parts = multihost_utils.process_allgather(a)
+        out.append(np.asarray(parts).sum(axis=0))
+    return tuple(out)
+
+
+def local_host_rows(data):
+    """This process's rows of a (possibly multi-process) blocked Data pytree
+    as flat host arrays: (y [N_loc, D], m [N_loc, D], valid [N_loc]).
+
+    Single-process: the full arrays.  Multi-process: the addressable shards
+    only (a global sharded array cannot be np.asarray'd) — sufficient for
+    any order-invariant statistic."""
+
+    def loc(a):
+        arr = getattr(a, "addressable_shards", None)
+        if arr is None or getattr(a, "is_fully_addressable", True):
+            return np.asarray(a)
+        shards = sorted(
+            a.addressable_shards,
+            key=lambda s: tuple(sl.start or 0 for sl in s.index),
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=1)
+
+    y = loc(data.y)
+    m = loc(data.x_infr)
+    valid = loc(data.row_valid)
+    D = y.shape[-1]
+    return (y.reshape(-1, D), m.reshape(-1, D), valid.reshape(-1))
+
+
+def global_init_stats(data, y_host=None, D: int = None):
+    """Global data statistics for standard_init, identical on every process
+    — the multi-process-safe replacement for host-side means over
+    np.asarray(data.y).  Mirrors the reference's allmean + allreduce init
+    contract (reference _models.py:242-276: every rank derives the same
+    Theta^0 from GLOBAL statistics).
+
+    Returns (N, y_mean [D], ss_resid, m_sum): global row count, global
+    masked data mean (sum(y*m)/N — the reference's incomplete-data
+    normalization, _models.py:249), the global masked squared residual
+    sum((y - y_mean)*m)^2, and the global observed-entry count sum(m).
+    With complete data m == 1 everywhere, so ss_resid/m_sum etc. reduce to
+    the usual moments."""
+    if y_host is not None:
+        y_raw = np.asarray(y_host).reshape(-1, D)
+        m = ~np.isnan(y_raw)
+        y = np.where(m, y_raw, 0.0)
+    else:
+        y, m, valid = local_host_rows(data)
+        y, m = y[valid], m[valid]
+    y = y.astype(np.float64)
+    mf = m.astype(np.float64)
+
+    (part,) = allsum_host(
+        np.concatenate([
+            [np.float64(y.shape[0])], (y * mf).sum(0), [mf.sum()]
+        ])
+    )
+    N = part[0]
+    y_mean = part[1:-1] / N
+    m_sum = part[-1]
+    (ss_resid,) = allsum_host(np.asarray([(((y - y_mean) * mf) ** 2).sum()]))
+    return N, y_mean, float(ss_resid[0]), float(m_sum)
 
 
 def gather_global(x) -> np.ndarray:

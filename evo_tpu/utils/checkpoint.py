@@ -8,6 +8,13 @@ killed run restarts losslessly (restart-based failure recovery).
 
 State sets are stored bit-packed (8x smaller); any pytree of arrays works
 for `params`.
+
+Multi-process: the sharded EState is allgathered to hosts, process 0 writes
+the file, and all processes barrier before returning (so a process cannot
+race ahead and read a half-written checkpoint).  On load, every process
+reads the file and the estate is re-laid out onto the mesh via
+make_array_from_callback — each device fetches exactly its shard.  Pass the
+mesh (or rely on the default) when resuming a multi-process run.
 """
 
 from __future__ import annotations
@@ -18,26 +25,41 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from evo_tpu.ops.bitpack import unpack_bits_u8
 from evo_tpu.variational.state_init import EState
 
 _SEP = "/"
 
 
 def _flatten(tree) -> dict:
+    """Path-keyed dict of RAW leaves (no host transfer — a leaf may be a
+    non-addressable multi-process array)."""
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = _SEP.join(
             p.name if hasattr(p, "name") else str(getattr(p, "key", getattr(p, "idx", p)))
             for p in path
         )
-        flat[key] = np.asarray(leaf)
+        flat[key] = leaf
     return flat
 
 
+def _host_value(x) -> np.ndarray:
+    """Full host value of a leaf, multi-process-safe: a sharded global array
+    is not fully addressable, so np.asarray would throw — allgather it."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from evo_tpu.parallel.distributed import gather_global
+
+    return gather_global(x)
+
+
 def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> None:
-    blobs = {f"params{_SEP}{k}": v for k, v in _flatten(params).items()}
-    ss = np.asarray(estate.ss)
+    multiprocess = jax.process_count() > 1
+    blobs = {
+        f"params{_SEP}{k}": _host_value(v)
+        for k, v in _flatten(params).items()
+    }
+    ss = _host_value(estate.ss)
     if ss.dtype == np.uint8:  # already bit-packed (EAConfig.packed_states)
         blobs["estate_ss_packed"] = ss
         blobs["estate_ss_H"] = np.asarray(-1)  # sentinel: keep packed
@@ -48,15 +70,45 @@ def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> 
     else:
         blobs["estate_ss_packed"] = np.packbits(ss, axis=-1, bitorder="little")
         blobs["estate_ss_H"] = np.asarray(ss.shape[-1])
-    blobs["estate_lpj"] = np.asarray(estate.lpj)
+    blobs["estate_lpj"] = _host_value(estate.lpj)
     blobs["epoch"] = np.asarray(epoch)
     blobs["rng_key"] = np.asarray(jax.random.key_data(key))
-    np.savez_compressed(path, **blobs)
+    if not multiprocess:
+        np.savez_compressed(path, **blobs)
+        return
+    # process 0 writes; everyone barriers so no process reads early
+    if jax.process_index() == 0:
+        np.savez_compressed(path, **blobs)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"evo_tpu_checkpoint:{path}")
 
 
-def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]:
+def load_checkpoint(path: str, params_like: Any,
+                    mesh=None) -> Tuple[Any, EState, int, Any]:
     """Returns (params, estate, epoch, key).  `params_like` supplies the
-    pytree structure (e.g. a freshly initialized params object)."""
+    pytree structure (e.g. a freshly initialized params object).
+
+    Multi-process: every process reads the (shared-filesystem) file; params
+    come back replicated and the estate sharded P(None, 'data') over `mesh`
+    (default mesh if omitted) via make_array_from_callback, so each device
+    fetches exactly its rows."""
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from evo_tpu.parallel.mesh import DATA_AXIS, get_mesh
+
+        mesh = mesh or get_mesh()
+
+        def _place(a, sharded: bool):
+            a = np.asarray(a)
+            spec = P(None, DATA_AXIS) if sharded and a.ndim >= 2 else P()
+            sh = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(a.shape, sh,
+                                                lambda idx: a[idx])
+    else:
+        def _place(a, sharded: bool):
+            return jnp.asarray(a)
     with np.load(path) as z:
         flat = _flatten(params_like)
         restored = {}
@@ -70,7 +122,7 @@ def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]
             )
             for path, _ in jax.tree_util.tree_flatten_with_path(params_like)[0]
         ]
-        new_leaves = [jnp.asarray(restored[p]) for p in paths]
+        new_leaves = [_place(restored[p], sharded=False) for p in paths]
         params = jax.tree_util.tree_unflatten(treedef, new_leaves)
 
         H = int(z["estate_ss_H"])
@@ -87,13 +139,16 @@ def load_checkpoint(path: str, params_like: Any) -> Tuple[Any, EState, int, Any]
                 bits = np.unpackbits(
                     packed, axis=-1, bitorder="little").astype(bool)
                 packed = pack_bits_lane_host(bits)
-            ss = jnp.asarray(packed)
+            ss = _place(packed, sharded=True)
         else:
-            # int8 = the device representation for unpacked states
-            ss = unpack_bits_u8(
-                jnp.asarray(z["estate_ss_packed"]), H=H
-            ).astype(jnp.int8)
-        estate = EState(ss=ss, lpj=jnp.asarray(z["estate_lpj"]))
+            # int8 = the device representation for unpacked states; unpack
+            # host-side so _place can shard the result directly
+            ss_host = np.unpackbits(
+                np.asarray(z["estate_ss_packed"]), axis=-1, bitorder="little"
+            )[..., :H].astype(np.int8)
+            ss = _place(ss_host, sharded=True)
+        estate = EState(ss=ss, lpj=_place(np.asarray(z["estate_lpj"]),
+                                          sharded=True))
         epoch = int(z["epoch"])
         key = jax.random.wrap_key_data(jnp.asarray(z["rng_key"]))
     return params, estate, epoch, key

@@ -130,6 +130,39 @@ def test_deinterleave_processes_restores_flat_order():
     np.testing.assert_array_equal(flat[:, 0], want)
 
 
+def test_global_init_stats_single_process():
+    """global_init_stats must reproduce the host-side moments standard_init
+    computes, for complete and incomplete data (the multi-process branch of
+    standard_init builds Theta^0 from these)."""
+    from evo_tpu.parallel.distributed import global_init_stats
+
+    rng = np.random.default_rng(3)
+    Y = rng.normal(size=(32, 5)).astype(np.float32)
+    data = make_data(Y, n_blocks=2)
+    N, y_mean, ss_resid, m_sum = global_init_stats(data, y_host=Y, D=5)
+    assert N == 32 and m_sum == 32 * 5
+    np.testing.assert_allclose(y_mean, Y.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(
+        ss_resid, ((Y - Y.mean(0)) ** 2).sum(), rtol=1e-6
+    )
+    # shards path == y_host path
+    N2, y_mean2, ss2, m2 = global_init_stats(data, D=5)
+    np.testing.assert_allclose(y_mean2, y_mean, rtol=1e-6)
+    np.testing.assert_allclose(ss2, ss_resid, rtol=1e-6)
+
+    Yn = Y.copy()
+    Yn[2, 3] = np.nan
+    datan = make_data(Yn, n_blocks=2)
+    Nn, y_meann, ssn, mn = global_init_stats(datan, y_host=Yn, D=5)
+    m = ~np.isnan(Yn)
+    yz = np.where(m, Yn, 0.0)
+    np.testing.assert_allclose(y_meann, yz.sum(0) / 32, rtol=1e-6)
+    assert mn == m.sum()
+    np.testing.assert_allclose(
+        ssn, (((yz - yz.sum(0) / 32) * m) ** 2).sum(), rtol=1e-6
+    )
+
+
 def test_init_distributed_skips_when_client_already_up(monkeypatch):
     """init_distributed must consult jax.distributed.is_initialized() — NOT
     jax.process_count(), which initializes the XLA backend first, after
