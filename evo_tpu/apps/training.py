@@ -97,10 +97,15 @@ class EMTrainer:
             tracing.tracepoint("log:begin")
             self._log_epoch(stats)
             tracing.tracepoint("log:end")
-            for name in ("n_reset_nan", "n_reset_small", "n_reset_inf"):
+            for name in ("n_reset_nan", "n_reset_small", "n_reset_inf",
+                         "n_guard_sigma_floor", "n_guard_mus_freeze",
+                         "n_guard_psi_freeze"):
                 v = int(getattr(stats, name))
                 if v > 0:
                     print(f"\t{name} = {v}")
+            renorm = float(stats.guard_psi_renorm)
+            if renorm > 0.1:  # only surface non-trivial gauge corrections
+                print(f"\tguard_psi_renorm = {renorm:.3f}")
             if epoch_callback is not None:
                 tracing.tracepoint("epoch_callback:begin")
                 epoch_callback(epoch=e + 1, F=F, params=self.params,

@@ -151,7 +151,21 @@ def block_gram(W, y_b, xinf_b, incomplete: bool):
 class StepStats:
     """Per-epoch diagnostics, mirroring the reference's logged quantities
     (F, S_nunique, S_sub: _models.py:540-547; reset counters:
-    _models.py:567-596 reported at bsc.py:163-171)."""
+    _models.py:567-596 reported at bsc.py:163-171).
+
+    The n_guard_* / guard_* fields surface the f32-only numerical guard
+    rails (absent from the f64 reference, which merely degrades silently)
+    in the same observability style as the reference's lpj reset counters:
+
+      n_guard_sigma_floor: 1 if BSC's degenerate-fit sigma floor
+          (1e-3 * data RMS) clamped the update this epoch
+      n_guard_mus_freeze / n_guard_psi_freeze: number of SSSC latent units
+          whose mus / Psi rows were frozen at their previous value because
+          their activation mass collapsed (dying-unit guard)
+      guard_psi_renorm: magnitude of the SSSC gauge renormalization,
+          max_h |log d_h| with d = sqrt(diag(Psi)) (exactly 0 when the
+          likelihood-invariant rescaling did nothing)
+    """
 
     F: jnp.ndarray
     S_nunique: jnp.ndarray
@@ -159,3 +173,11 @@ class StepStats:
     n_reset_nan: jnp.ndarray
     n_reset_small: jnp.ndarray
     n_reset_inf: jnp.ndarray
+    n_guard_sigma_floor: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    n_guard_mus_freeze: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    n_guard_psi_freeze: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    guard_psi_renorm: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32))

@@ -486,7 +486,7 @@ class BSC:
         xs = (data.y, data.x_infr, data.x, data.row_valid, estate.ss, keys)
         acc, (ss_all, lpj_all, yrec_all) = jax.lax.scan(block_fn, acc0, xs)
 
-        new_params = self._m_step_finalize(params, acc, pre, data, cfg)
+        new_params, guards = self._m_step_finalize(params, acc, pre, data, cfg)
         N = pre["N"]
         stats = StepStats(
             F=pre["ljc"] + acc["Fsum"] / N,
@@ -495,6 +495,7 @@ class BSC:
             n_reset_nan=acc["resets"][0],
             n_reset_small=acc["resets"][1],
             n_reset_inf=acc["resets"][2],
+            n_guard_sigma_floor=guards["sigma_floor"],
         )
         return new_params, EState(ss=ss_all, lpj=lpj_all), stats, yrec_all
 
@@ -527,6 +528,7 @@ class BSC:
             new["pi"] = jnp.sum(pies_new) / H
             new["pies"] = pies_new
 
+        guards = dict(sigma_floor=jnp.zeros((), jnp.int32))
         if "sigma" in self.to_learn:
             if data.incomplete:
                 corr = pre["sum_d"] * params.sigma**2
@@ -536,11 +538,17 @@ class BSC:
             # degenerate-fit guard: overcomplete models (H >= D) can drive
             # sigma -> 0 (exact interpolation), which f32 lpj cannot
             # represent (the f64 reference merely limps longer); floor at a
-            # fraction of the data RMS
+            # fraction of the data RMS, surfaced via StepStats (like the
+            # reference surfaces its lpj resets, _models.py:567-596)
             rms = jnp.sqrt(pre["sum_d_y2"] / jnp.maximum(pre["sum_d"], 1.0))
             new["sigma"] = jnp.maximum(sigma_new, 1e-3 * rms)
+            guards["sigma_floor"] = (sigma_new < 1e-3 * rms).astype(jnp.int32)
 
-        return BSCParams(W=new["W"], pi=new["pi"], sigma=new["sigma"], pies=new["pies"])
+        return (
+            BSCParams(W=new["W"], pi=new["pi"], sigma=new["sigma"],
+                      pies=new["pies"]),
+            guards,
+        )
 
     # ----------------------------------------------------------- free energy
 

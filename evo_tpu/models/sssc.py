@@ -476,7 +476,7 @@ class SSSC:
         xs = (data.y, data.x_infr, data.x, data.row_valid, estate.ss, keys)
         acc, (ss_all, lpj_all, yrec_all) = jax.lax.scan(block_fn, acc0, xs)
 
-        new_params = self._m_step_finalize(params, acc, pre, data, cfg)
+        new_params, guards = self._m_step_finalize(params, acc, pre, data, cfg)
         N = pre["N"]
         stats = StepStats(
             F=pre["ljc"] + acc["Fsum"] / N,
@@ -485,6 +485,9 @@ class SSSC:
             n_reset_nan=acc["resets"][0],
             n_reset_small=acc["resets"][1],
             n_reset_inf=acc["resets"][2],
+            n_guard_mus_freeze=guards["mus_freeze"],
+            n_guard_psi_freeze=guards["psi_freeze"],
+            guard_psi_renorm=guards["psi_renorm"],
         )
         return new_params, EState(ss=ss_all, lpj=lpj_all), stats, yrec_all
 
@@ -506,6 +509,11 @@ class SSSC:
         N, D, H = pre["N"], self.D, self.H
         new = dict(W=params.W, pies=params.pies, mus=params.mus, Psi=params.Psi,
                    sigma2=params.sigma2)
+        guards = dict(
+            mus_freeze=jnp.zeros((), jnp.int32),
+            psi_freeze=jnp.zeros((), jnp.int32),
+            psi_renorm=jnp.zeros((), jnp.float32),
+        )
 
         if "W" in self.to_learn:
             from evo_tpu.ops.linalg import equilibrated_pd_inverse
@@ -534,6 +542,7 @@ class SSSC:
             # value; they can revive in later epochs.
             alive = acc["xpt_s"] > 1e-4 * pre["N"]
             new["mus"] = jnp.where(alive, mus_upd, params.mus)
+            guards["mus_freeze"] = jnp.sum(~alive, dtype=jnp.int32)
 
         if "Psi" in self.to_learn:
             mus_new = new["mus"]
@@ -558,6 +567,7 @@ class SSSC:
                 alive = acc["xpt_s"] > 1e-4 * pre["N"]
                 keep = jnp.outer(alive, alive)
                 Psi_upd = jnp.where(keep, Psi_upd, params.Psi)
+                guards["psi_freeze"] = jnp.sum(~alive, dtype=jnp.int32)
             new["Psi"] = Psi_upd
 
         if "sigma2" in self.to_learn:
@@ -588,9 +598,14 @@ class SSSC:
             new["Psi"] = new["Psi"] / jnp.outer(d, d)
             new["mus"] = new["mus"] / d
             new["W"] = new["W"] * d[None, :]
+            guards["psi_renorm"] = jnp.max(jnp.abs(jnp.log(d))).astype(
+                jnp.float32)
 
-        return SSSCParams(W=new["W"], pies=new["pies"], mus=new["mus"],
-                          Psi=new["Psi"], sigma2=new["sigma2"])
+        return (
+            SSSCParams(W=new["W"], pies=new["pies"], mus=new["mus"],
+                       Psi=new["Psi"], sigma2=new["sigma2"]),
+            guards,
+        )
 
     # ----------------------------------------------------------- free energy
 
