@@ -43,6 +43,11 @@ import jax.numpy as jnp
 
 from evo_tpu.models.base import Data, StepStats, block_gram
 from evo_tpu.ops.bitpack import pack_bits_lane, unpack_bits_lane
+from evo_tpu.ops.pallas_sssc import (
+    pallas_sssc_applicable,
+    sssc_lpj_pallas,
+    sssc_suffstat_pallas,
+)
 from evo_tpu.ops.numerics import posterior_weights, reset_lpj, shifted_logsumexp, free_energy_from_lpj
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states_block
@@ -73,6 +78,9 @@ class SSSC:
     D: int
     H: int
     to_learn: Tuple[str, ...] = ("W", "pies", "mus", "sigma2", "Psi")
+    # "auto": use the fused Pallas slab-solve kernels when profitable
+    # (TPU, f32, complete data, tileable shapes); "xla" | "pallas"
+    lpj_kernel: str = "auto"
 
     # ------------------------------------------------------------------ init
 
@@ -326,17 +334,40 @@ class SSSC:
 
         keys = jax.random.split(key, nb * B).reshape(nb, B)
 
+        # fused Pallas slab-solve path: candidate lpj from the VMEM-resident
+        # LU kernel; sufficient statistics re-solved for the merged K^(n)
+        # by the suffstat kernel (no kappa/lambda stash through HBM)
+        C = cfg.children_per_gen
+        use_kernel = (
+            self.lpj_kernel in ("auto", "pallas")
+            and not data.incomplete
+            and dt == jnp.float32
+            and not cfg.packed_states
+            and pallas_sssc_applicable(B, cfg.S, self.H)
+            and (cfg.exact or pallas_sssc_applicable(B, C, self.H))
+        )
+
         def estep_block(keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis):
             """Block-level evolutionary E-step (mirrors BSC._estep_block):
             the K-state and per-generation children evaluations run as one
-            batched call each, and the slab quantities (kappa, lambda) that
-            fall out of the candidate solves are stashed in call order —
-            exactly the candidate order of vary_Kn's concat(old, children),
-            so the EM step reuses the solves for the sufficient statistics."""
+            batched call each.  On the XLA path, the slab quantities
+            (kappa, lambda) that fall out of the candidate solves are
+            stashed in call order — exactly the candidate order of
+            vary_Kn's concat(old, children) — so the EM step reuses the
+            solves for the sufficient statistics.  On the Pallas path the
+            stash is skipped (the suffstat kernel re-solves the merged set
+            in VMEM, which is cheaper than materializing the stash)."""
             B = ss_b.shape[0]
             kappa_stash, lam_stash = [], []
 
             def lpj_block(states_b):
+                if use_kernel:
+                    lpj, badf = sssc_lpj_pallas(
+                        states_b, Wty_b, y2_b, G_b, Psi, mus,
+                        pre["pil_bar"], s2inv)
+                    lpj, counts = reset_lpj(lpj, valid=valid_b)
+                    return lpj, None, (
+                        counts, jnp.sum(badf).astype(jnp.int32))
                 lpj, bad, kappa, lam_m = jax.vmap(
                     self._lpj_states,
                     in_axes=(0, g_axis, 0, 0, None, None, None, None),
@@ -379,8 +410,11 @@ class SSSC:
             counts = jax.tree.map(lambda *xs: sum(xs),
                                   *[a[0] for a in all_aux])
             n_bad = sum(a[1] for a in all_aux)
-            kappa_all = jnp.concatenate(kappa_stash, axis=1)  # [B, K_all, H]
-            lam_all = jnp.concatenate(lam_stash, axis=1)
+            if use_kernel:
+                kappa_all = lam_all = None
+            else:
+                kappa_all = jnp.concatenate(kappa_stash, axis=1)  # [B,K_all,H]
+                lam_all = jnp.concatenate(lam_stash, axis=1)
             return (ss2, lpj_full, n_uni, n_sub, counts, n_bad,
                     kappa_all, lam_all, idx)
 
@@ -400,22 +434,36 @@ class SSSC:
 
             r = posterior_weights(lpj_full) * vf[:, None]  # [B, S_perm+S]
             rs = r[:, S_perm:]  # [B, S]
-            sf = ss2.astype(dt)
 
-            # ---- expectations from the candidate-evaluation solves:
-            # scatter the merged responsibilities back onto the candidate
-            # axis (r~[k] = r of the K^(n) member that candidate k became,
-            # 0 if dropped) and take weighted sums — no re-solving
-            K_all = kappa_all.shape[1]
-            onehot = jax.nn.one_hot(idx, K_all, dtype=dt)  # [B, S, K_all]
-            rtil = jnp.einsum("bs,bsk->bk", rs, onehot)  # [B, K_all]
+            if use_kernel:
+                # ---- expectations re-solved for the merged K^(n) in VMEM
+                # (the reference's storage-dict reuse, sssc.py:568-570,
+                # replaced by recompute — see ops/pallas_sssc.py)
+                (xpt_sz, xpt_s, xpt_ss_hh, xpt_szsz_hh,
+                 s_sz_hh, sz_sz_hh) = sssc_suffstat_pallas(
+                    ss2, rs, Wty_b, G_b, Psi, mus, s2inv)
+            else:
+                sf = ss2.astype(dt)
+                # ---- expectations from the candidate-evaluation solves:
+                # scatter the merged responsibilities back onto the
+                # candidate axis (r~[k] = r of the K^(n) member that
+                # candidate k became, 0 if dropped) and take weighted sums
+                K_all = kappa_all.shape[1]
+                onehot = jax.nn.one_hot(idx, K_all, dtype=dt)  # [B,S,K_all]
+                rtil = jnp.einsum("bs,bsk->bk", rs, onehot)  # [B, K_all]
 
-            xpt_s = jnp.einsum("bs,bsh->bh", rs, sf)  # [B,H]
-            xpt_ss = jnp.einsum("bs,bsh,bsk->bhk", rs, sf, sf)  # [B,H,H]
-            xpt_sz = jnp.einsum("bk,bkh->bh", rtil, kappa_all)  # [B,H]
-            xpt_szsz = jnp.einsum("bk,bkhj->bhj", rtil, lam_all) + jnp.einsum(
-                "bk,bkh,bkj->bhj", rtil, kappa_all, kappa_all
-            )  # [B,H,H]
+                xpt_s = jnp.einsum("bs,bsh->bh", rs, sf)  # [B,H]
+                xpt_ss = jnp.einsum("bs,bsh,bsk->bhk", rs, sf, sf)
+                xpt_sz = jnp.einsum("bk,bkh->bh", rtil, kappa_all)  # [B,H]
+                xpt_szsz = jnp.einsum(
+                    "bk,bkhj->bhj", rtil, lam_all
+                ) + jnp.einsum(
+                    "bk,bkh,bkj->bhj", rtil, kappa_all, kappa_all
+                )  # [B,H,H]
+                xpt_ss_hh = xpt_ss.sum(0)
+                xpt_szsz_hh = xpt_szsz.sum(0)
+                s_sz_hh = jnp.einsum("bh,bk->hk", xpt_s, xpt_sz)
+                sz_sz_hh = jnp.einsum("bh,bk->hk", xpt_sz, xpt_sz)
 
             # ---- reconstruction: est = W @ <sz>_n (reference sssc.py:614-627
             #      via modelmean, sssc.py:369-405)
@@ -430,14 +478,12 @@ class SSSC:
 
             new = dict(
                 xpt_s=acc["xpt_s"] + xpt_s.sum(0),
-                xpt_ss=acc["xpt_ss"] + xpt_ss.sum(0),
+                xpt_ss=acc["xpt_ss"] + xpt_ss_hh,
                 xpt_sz=acc["xpt_sz"] + xpt_sz.sum(0),
-                xpt_szsz=acc["xpt_szsz"] + xpt_szsz.sum(0),
+                xpt_szsz=acc["xpt_szsz"] + xpt_szsz_hh,
                 Wp=acc["Wp"] + Wp,
-                s_sz_outer=acc["s_sz_outer"]
-                + jnp.einsum("bh,bk->hk", xpt_s, xpt_sz),
-                sz_sz_outer=acc["sz_sz_outer"]
-                + jnp.einsum("bh,bk->hk", xpt_sz, xpt_sz),
+                s_sz_outer=acc["s_sz_outer"] + s_sz_hh,
+                sz_sz_outer=acc["sz_sz_outer"] + sz_sz_hh,
                 # incomplete-data sigma2 term: only the trace of the
                 # reference's [D,D] accumulator is ever used (sssc.py:752) —
                 # accumulate the scalar directly

@@ -130,20 +130,111 @@ def _solve_core(sT, G2, Psi, mus, WtyT, s2inv):
     return lam, ldM, ldP, bad, aT, GaT, uT, lam_u
 
 
-def _make_lpj_kernel(Hp: int):
-    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, psi_ref,
-                mus_ref, pil_ref, lpj_ref, bad_ref):
+def _lu_logdet_solve(A_scr, v, Hp):
+    """Unpivoted in-place LU on the lane-major scratch A_scr [Hp, Hp, T],
+    returning (logdet [T], x [Hp, T] solving A x = v, bad [T]).
+
+    A arrives as M' = I + s2inv * Psi_s G_ss (similar to the symmetric PD
+    M_s = Psi_s^-1 M' Psi_s, so its spectrum is positive); unpivoted LU is
+    empirically stable here and any breakdown (tiny/non-finite pivot) is
+    reported through `bad` — the caller gives such states lpj -> floor,
+    exactly how the reference treats its np.linalg failures
+    (sssc.py:279-283)."""
+    ld = jnp.zeros_like(A_scr[0, 0])
+    badv = jnp.zeros_like(ld)
+    # near-zero pivot => condition number beyond f32 (M' has natural scale
+    # >= 1 from its identity part); such solves carry no usable digits, so
+    # flag them for the lpj floor instead of emitting a +-huge garbage lpj
+    tiny = jnp.float32(1e-6)
+    for k in range(Hp):
+        piv = A_scr[k, k, :]
+        badv = badv + jnp.where(
+            jnp.abs(piv) < tiny, 1.0, 0.0) + jnp.where(
+            jnp.isfinite(piv), 0.0, 1.0)
+        ld = ld + jnp.log(jnp.abs(piv))
+        if k + 1 < Hp:
+            ipiv = 1.0 / piv
+            col = A_scr[k + 1:, k, :] * ipiv[None, :]
+            A_scr[k + 1:, k, :] = col  # L multipliers (unit diagonal)
+            A_scr[k + 1:, k + 1:, :] = (
+                A_scr[k + 1:, k + 1:, :]
+                - col[:, None, :] * A_scr[k, k + 1:, :][None, :, :])
+    # forward substitution (unit L), then back substitution (U), as
+    # fori_loops of masked full-row dots — O(Hp) loop iterations instead
+    # of O(Hp^2) unrolled statements (the unrolled form compiled for
+    # minutes under Mosaic)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+
+    def fwd(k, y):
+        row = A_scr[pl.ds(k, 1)][0]  # [Hp, T] — row k via ref indexing
+        # y rows >= k are still the raw rhs; mask the dot to j < k, and
+        # the update to row k (masked ops replace dynamic value slicing,
+        # which Mosaic does not lower)
+        acc = jnp.sum(jnp.where(iot < k, row, 0.0) * y, axis=0)
+        return y - jnp.where(iot == k, 1.0, 0.0) * acc[None, :]
+
+    y = jax.lax.fori_loop(0, Hp, fwd, v)
+
+    def bwd(i, x):
+        k = Hp - 1 - i
+        row = A_scr[pl.ds(k, 1)][0]
+        acc = jnp.sum(jnp.where(iot > k, row, 0.0) * x, axis=0)
+        diag = jnp.sum(jnp.where(iot == k, row, 0.0), axis=0)
+        xk = jnp.sum(jnp.where(iot == k, x, 0.0), axis=0)
+        xk = (xk - acc) / diag
+        return jnp.where(iot == k, xk[None, :], x)
+
+    x = jax.lax.fori_loop(0, Hp, bwd, y)
+    return ld, x, jnp.minimum(badv, 1.0)
+
+
+def _make_lpj_kernel(Hp: int, H: int):
+    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, Q_ref,
+                psi_ref, mus_ref, pil_ref, lpj_ref, bad_ref, A_scr):
         s2inv = scal_ref[0, 0]
+        T = ss_ref.shape[1]
         sT = _pad_sub(ss_ref[:].astype(jnp.float32), Hp)
         WtyT = _pad_sub(wty_ref[:], Hp)
-        _, ldM, ldP, bad, aT, GaT, uT, lam_u = _solve_core(
-            sT, G_ref[:], psi_ref[:], mus_ref[:][:, 0:1], WtyT, s2inv)
+        mus = mus_ref[:][:, 0:1]
+
+        # M' = I + s2inv * (s s^T) .* T_mat, with the state-dependent
+        # product Psi_s G_ss hoisted onto the MXU: T_mat = Q @ s where
+        # Q[(i,j), k] = Psi[i, k] G[k, j] is state-independent
+        T_mat = jax.lax.dot_general(
+            Q_ref[:], sT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).reshape(Hp, Hp, T)
+        i_ = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hp), 0)
+        j_ = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hp), 1)
+        eye = (i_ == j_).astype(jnp.float32)
+        ssT = sT[:, None, :] * sT[None, :, :]
+        A_scr[:] = eye[:, :, None] + s2inv * (ssT * T_mat)
+
+        # u = s .* (Wty - G a), with G a on the MXU
+        aT = sT * mus
+        GaT = jax.lax.dot_general(
+            G_ref[:], aT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        uT = sT * (WtyT - GaT)
+        # lam u = M^-1 u = M'^-1 (Psi_s u); Psi_s u = s .* (Psi u) (MXU)
+        Pu = sT * jax.lax.dot_general(
+            psi_ref[:], uT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        # log det M' = log det M_s + log det Psi_s  (M' = Psi_s M_s)
+        ldMP, lam_u, bad = _lu_logdet_solve(A_scr, Pu, Hp)
+
         ynorm2 = (y2_ref[0] - 2.0 * jnp.sum(aT * WtyT, axis=0)
                   + jnp.sum(aT * GaT, axis=0))  # [T]
         quad2 = jnp.sum(uT * lam_u, axis=0)
-        lpj = (-0.5 * (ldM + ldP + s2inv * ynorm2
-                       - s2inv * s2inv * quad2)
+        lpj = (-0.5 * (ldMP + s2inv * ynorm2 - s2inv * s2inv * quad2)
                + jnp.sum(sT * pil_ref[:][:, 0:1], axis=0))
+        # flagged solves carry no usable digits: emit -inf so the caller's
+        # reset_lpj floors (and counts) them, like the reference's
+        # np.linalg fallback path (sssc.py:279-283)
+        lpj = jnp.where(bad > 0, -jnp.inf, lpj)
         lpj_ref[0, :] = lpj
         bad_ref[0, :] = bad
 
@@ -162,7 +253,8 @@ def _prep_model(G, Psi, mus, pil_bar, H, Hp):
             pil_bar.astype(jnp.float32).reshape(Hp, 1))
 
 
-TB = 256  # datapoints (lanes) per tile
+TB = 1024  # lpj kernel: datapoints (lanes) per tile
+TB_SS = 512  # suffstat kernel tile (the Schur recursion is VMEM-hungrier)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -181,6 +273,10 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     assert B % TB == 0, (B, TB)
     J = B // TB
     G_, Psi_, mus_, pil_ = _prep_model(G, Psi, mus, pil_bar, H, Hp)
+    # Q[(i,j), k] = Psi[i,k] G[k,j]: hoists the per-state Psi_s G_ss
+    # product onto one MXU matmul against the state bits
+    Q = (Psi_[:, None, :] * jnp.transpose(G_)[None, :, :]).reshape(
+        Hp * Hp, Hp)
     # k-major lane layout: column t = k*B + b
     sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
                            else ss.astype(jnp.int8),
@@ -190,7 +286,7 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     scal = jnp.asarray(s2inv, jnp.float32).reshape(1, 1)
 
     lpj_kb, bad_kb = pl.pallas_call(
-        _make_lpj_kernel(Hp),
+        _make_lpj_kernel(Hp, H),
         out_shape=(
             jax.ShapeDtypeStruct((1, K * B), jnp.float32),
             jax.ShapeDtypeStruct((1, K * B), jnp.float32),
@@ -205,6 +301,7 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
                 pl.BlockSpec((H, TB), lambda j, k: (0, j)),
                 pl.BlockSpec((1, TB), lambda j, k: (0, j)),
                 pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
+                pl.BlockSpec((Hp * Hp, Hp), lambda j, k: (0, 0)),
                 pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
                 pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
                 pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
@@ -213,9 +310,10 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
                 pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
                 pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
             ),
+            scratch_shapes=[pltpu.VMEM((Hp, Hp, TB), jnp.float32)],
         ),
         interpret=interpret,
-    )(scal, sT_all, WtyT, y2r, G_, Psi_, mus_, pil_)
+    )(scal, sT_all, WtyT, y2r, G_, Q, Psi_, mus_, pil_)
     lpj = jnp.transpose(lpj_kb.reshape(K, B), (1, 0))
     bad = jnp.transpose(bad_kb.reshape(K, B), (1, 0))
     return lpj, bad
@@ -259,11 +357,13 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int):
         # [H, H] accumulators over the whole grid (constant index_map)
         xpt_ss_c = jax.lax.dot_general(
             w_s, sT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         xpt_szsz_c = (jnp.sum(lamm * rT[None], axis=2)
                       + jax.lax.dot_general(
                           w_kappa, kappaT, (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32))
+                          preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
         first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
 
         @pl.when(first)
@@ -287,10 +387,12 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int):
             xz = _pad_sub(xpt_sz_ref[:], Hp)
             s_sz_c = jax.lax.dot_general(
                 xs, xz, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             sz_sz_c = jax.lax.dot_general(
                 xz, xz, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             s_sz_ref[:] = s_sz_ref[:] + s_sz_c[:H, :H]
             sz_sz_ref[:] = sz_sz_ref[:] + sz_sz_c[:H, :H]
 
@@ -313,8 +415,8 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
     summed over the batch."""
     B, S, H = ss.shape
     Hp = max(8, _next_pow2(H))
-    assert B % TB == 0, (B, TB)
-    J = B // TB
+    assert B % TB_SS == 0, (B, TB_SS)
+    J = B // TB_SS
     G_, Psi_, mus_, _pil = _prep_model(G, Psi, mus, jnp.zeros_like(mus),
                                        H, Hp)
     sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
@@ -340,16 +442,16 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda j, k: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((H, TB), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((H, TB_SS), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((1, TB_SS), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
                 pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
                 pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
                 pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
             ],
             out_specs=(
-                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
-                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
+                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
+                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
                 pl.BlockSpec((H, H), lambda j, k: (0, 0)),
                 pl.BlockSpec((H, H), lambda j, k: (0, 0)),
                 pl.BlockSpec((H, H), lambda j, k: (0, 0)),
@@ -369,6 +471,9 @@ def pallas_sssc_applicable(B: int, K: int, H: int) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
     Hp = max(8, _next_pow2(H))
-    # ~8 live [Hp, Hp, TB] f32 arrays through the recursion
-    vmem = 8 * Hp * Hp * TB * 4
-    return Hp <= 64 and B % TB == 0 and K >= 1 and vmem < 14 * 2**20
+    # a few live [Hp, Hp, TB] f32 arrays (LU scratch, MXU T_mat, masks);
+    # measured to fit at Hp=32, TB=1024 (~17 MB estimate, real peak lower
+    # because Mosaic fuses the mask/add chains into the scratch store)
+    vmem = 4 * Hp * Hp * TB * 4
+    return (Hp <= 64 and B % TB == 0 and B % TB_SS == 0 and K >= 1
+            and vmem <= 24 * 2**20)

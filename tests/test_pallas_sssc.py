@@ -1,0 +1,123 @@
+"""SSSC Pallas kernels vs the XLA slab-marginalization path (interpret
+mode on CPU; the real kernels run the identical jaxpr on TPU).
+
+The lpj kernel factors M' = Psi_s M_s (one unpivoted LU gives
+log det M' = log det M_s + log det Psi_s and the lam_u solve) with the
+per-state Psi_s G_ss product hoisted onto one MXU matmul; the suffstat
+kernel re-solves the merged K^(n) and contracts the responsibilities
+in-kernel.  Both must match models.sssc._lpj_states and the einsum
+expectations at f32 tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from evo_tpu.models.sssc import SSSC
+from evo_tpu.ops.pallas_sssc import (
+    TB,
+    TB_SS,
+    sssc_lpj_pallas,
+    sssc_suffstat_pallas,
+)
+
+
+def _problem(B, K, H, D, seed=0, p=0.25):
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((D, H)).astype(np.float32)
+    Psi0 = rng.standard_normal((H, H)).astype(np.float32)
+    Psi = (Psi0 @ Psi0.T / H + np.eye(H)).astype(np.float32)
+    mus = rng.standard_normal(H).astype(np.float32)
+    pil = rng.standard_normal(H).astype(np.float32)
+    s2inv = np.float32(0.7)
+    Y = rng.standard_normal((B, D)).astype(np.float32)
+    G = (W.T @ W).astype(np.float32)
+    Wty = (Y @ W).astype(np.float32)
+    y2 = (Y * Y).sum(-1).astype(np.float32)
+    ss = (rng.random((B, K, H)) < p).astype(np.int8)
+    rs = rng.random((B, K)).astype(np.float32)
+    rs /= rs.sum(1, keepdims=True)
+    return dict(G=G, Psi=Psi, mus=mus, pil=pil, s2inv=s2inv, Wty=Wty,
+                y2=y2, ss=ss, rs=rs)
+
+
+def _oracle(p):
+    return jax.vmap(
+        SSSC._lpj_states, in_axes=(0, None, 0, 0, None, None, None, None)
+    )(jnp.asarray(p["ss"]), jnp.asarray(p["G"]), jnp.asarray(p["Wty"]),
+      jnp.asarray(p["y2"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+      jnp.asarray(p["s2inv"]), jnp.asarray(p["pil"]))
+
+
+@pytest.mark.parametrize("H,K", [(12, 3), (32, 5)])
+def test_lpj_kernel_matches_xla_path(H, K):
+    B = TB  # one lane tile
+    p = _problem(B, K, H, D=9)
+    lpj_o = _oracle(p)[0]
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(p["ss"]), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True)
+    assert float(bad.sum()) == 0
+    np.testing.assert_allclose(np.asarray(lpj_k), np.asarray(lpj_o),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_suffstat_kernel_matches_einsum_expectations():
+    H, S, B = 16, 4, 2 * TB_SS
+    p = _problem(B, S, H, D=11, seed=1)
+    _, _, kappa_o, lam_o = _oracle(p)
+    rs = jnp.asarray(p["rs"])
+    sf = jnp.asarray(p["ss"], jnp.float32)
+    want = dict(
+        xpt_sz=jnp.einsum("bs,bsh->bh", rs, kappa_o),
+        xpt_s=jnp.einsum("bs,bsh->bh", rs, sf),
+        xpt_ss=jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf),
+        xpt_szsz=jnp.einsum("bs,bshj->hj", rs, lam_o)
+        + jnp.einsum("bs,bsh,bsj->hj", rs, kappa_o, kappa_o),
+    )
+    want["s_sz"] = jnp.einsum("bh,bk->hk", want["xpt_s"], want["xpt_sz"])
+    want["sz_sz"] = jnp.einsum("bh,bk->hk", want["xpt_sz"], want["xpt_sz"])
+
+    out = sssc_suffstat_pallas(
+        jnp.asarray(p["ss"]), rs, jnp.asarray(p["Wty"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        p["s2inv"], interpret=True)
+    names = ["xpt_sz", "xpt_s", "xpt_ss", "xpt_szsz", "s_sz", "sz_sz"]
+    for name, got in zip(names, out):
+        ref = np.asarray(want[name])
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(got) / scale, ref / scale,
+                                   atol=2e-5, err_msg=name)
+
+
+def test_lpj_kernel_flags_bad_solves():
+    """A singular M' = I + s2inv Psi_s G_ss (possible when the learned Psi
+    goes non-PD, which the reference's elementwise Psi update permits —
+    sssc.py:738) must be reported through the bad flags or a non-finite
+    lpj, mirroring the reference's np.linalg fallback (sssc.py:279-283).
+
+    Note the M' factorization is strictly MORE robust than the
+    reference's two-solve form: a merely-singular Psi_s has a finite
+    lpj limit that M' computes where inv(Psi_s) overflows."""
+    H, K, B = 8, 2, TB
+    p = _problem(B, K, H, D=5, seed=2)
+    s2inv = float(p["s2inv"])
+    Psi_bad = p["Psi"].copy()
+    # one-active-unit state: M' = 1 + s2inv * Psi[0,0] * G[0,0] == 0
+    Psi_bad[0, 0] = -1.0 / (s2inv * float(p["G"][0, 0]))
+    ss = np.zeros((B, K, H), np.int8)
+    ss[:, 0, 0] = 1  # state selecting exactly the poisoned unit
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(ss), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["G"]), jnp.asarray(Psi_bad), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True)
+    # slot 0 states hit the (numerically near-)zero pivot: either the bad
+    # flag fires, the lpj is non-finite (both routed to the lpj floor by
+    # reset_lpj), or the 1/pivot blow-up lands as an extreme negative lpj
+    # — in every case the state is uncompetitive, never silent garbage
+    flagged = np.asarray(bad)[:, 0] > 0
+    lpjv = np.asarray(lpj_k)[:, 0]
+    rejected = ~np.isfinite(lpjv) | (lpjv < -1e4)
+    assert (flagged | rejected).all()
