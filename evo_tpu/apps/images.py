@@ -102,7 +102,14 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
     # (x = zeros; reference image-denoising/main.py:105-109); inpainting
     # keeps observed pixels (x = ~isnan; image-inpainting/main.py:107-111).
     x = np.zeros_like(Y, dtype=bool) if x_keep is None else x_keep
-    data = make_data(Y, x=x, n_blocks=args.n_blocks)
+    # on TPU, pad the batch to a lane-tileable multiple so the fused
+    # Pallas kernels apply (row_valid masks the padding out of every
+    # statistic); on CPU keep the exact row count
+    import jax as _jax
+
+    pad_multiple = 1024 if _jax.default_backend() == "tpu" else 1
+    data = make_data(Y, x=x, n_blocks=args.n_blocks,
+                     pad_multiple=pad_multiple)
     params = model.standard_init(data, seed=args.seed, y_host=Y)
     dlog.append_all({f"{k}_init": v for k, v in params_to_dict(params).items()})
 

@@ -178,9 +178,11 @@ def run_evo(task, setup, epochs):
         sigma2=jnp.asarray(float(setup["sig20"]), jnp.float32),
     )
     x_infr = ~np.isnan(Y)
+    pad_multiple = 1024 if jax.default_backend() == "tpu" else 1
     data = make_data(Y, x=x_infr.copy() if incomplete
-                     else np.zeros((N, D), bool))
-    cfg, estate = init_states(N=N, S=S, H=H, no_parents=N_PAR,
+                     else np.zeros((N, D), bool), pad_multiple=pad_multiple)
+    N_padded = data.y.shape[0] * data.y.shape[1]
+    cfg, estate = init_states(N=N_padded, S=S, H=H, no_parents=N_PAR,
                               no_children=N_CH, no_generations=N_GEN,
                               n_blocks=data.y.shape[0], seed=0)
     y_rec = None
