@@ -44,6 +44,13 @@ class EAConfig:
     # improves (reject_worse=True, utils.py:325-335)
     unification: bool = True
     reject_worse: bool = True
+    # position-preserving unification merge (vary_Kn_swap): same K^(n) SET
+    # per epoch, but surviving rows keep their storage slot, so the state
+    # stack is only written where a child actually won — avoids rewriting
+    # all S rows through an f32 one-hot gather.  Trajectories differ from
+    # the lpj-sorted merge only through the position-indexed Gumbel noise
+    # in parent selection (statistically identical).
+    swap_merge: bool = False
 
     def __post_init__(self):
         assert self.parent_selection in SELECTIONS, self.parent_selection

@@ -64,6 +64,60 @@ def vary_Kn(
     return ss_new, vals, n_sub, idx
 
 
+def vary_Kn_swap(
+    ss_n: jnp.ndarray,  # [S, H] bool/int8
+    lpj_n: jnp.ndarray,  # [S]
+    children: jnp.ndarray,  # [T, H] bool/int8
+    child_lpj: jnp.ndarray,  # [T], -inf at duplicates
+    Mprime: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Position-preserving form of `vary_Kn`: identical K^(n) SET, but rows
+    that survive the merge KEEP their storage slot (the reference's own
+    positional best-new-for-worst-old swapping, utils.py:294-319, rather
+    than a sorted rebuild).
+
+    Why it exists: `vary_Kn` rebuilds all S rows through a [S, S+T] one-hot
+    matmul, so every epoch rewrites the whole state stack through an f32
+    intermediate even though at most T (= #children, typically ~10) rows can
+    change.  Here only the min(T, S) worst slots can be written: the merge
+    lowers to a small [T]-row gather plus T fused int8 selects over [S, H] —
+    no f32 [S, H] intermediate, no permutation of untouched rows.
+
+    Equivalence: pairing the j-th best eligible child with the j-th worst
+    old row and swapping iff strictly better yields exactly the top-S of
+    (old ∪ eligible children) — the same exchange argument as vary_Kn's
+    docstring, run in the reference's original direction.  Ties keep the
+    old state (strict >), matching both vary_Kn and the reference.
+
+    Returns (ss_new [S,H], lpj_new [S], n_subs, idx [S]) with idx mapping
+    into concat(old, children) — identical contract to vary_Kn, only the
+    row order differs (slot-stable instead of lpj-sorted).
+    """
+    S = lpj_n.shape[0]
+    T = child_lpj.shape[0]
+    Mprime = min(Mprime, T)
+    if Mprime < T:
+        kth = jax.lax.top_k(child_lpj, Mprime)[0][-1]
+        rank_ok = child_lpj >= kth
+        csum = jnp.cumsum(rank_ok.astype(jnp.int32))
+        rank_ok = rank_ok & (csum <= Mprime)
+        child_lpj = jnp.where(rank_ok, child_lpj, -jnp.inf)
+    M = min(T, S)
+    cval, cidx = jax.lax.top_k(child_lpj, M)  # best children, desc
+    nwval, wpos = jax.lax.top_k(-lpj_n, M)  # worst old slots, asc lpj
+    swap = cval > -nwval  # [M]; strictly-better-only (prefix-true)
+    # the M best children in rank order (tiny reduction dim T)
+    ch_sorted = take_rows(children, cidx).astype(ss_n.dtype)  # [M, H]
+    iota = jnp.arange(S)
+    out, lpj_out, idx = ss_n, lpj_n, iota
+    for j in range(M):  # M ~ n_children; unrolls into fused selects
+        m = swap[j] & (iota == wpos[j])
+        out = jnp.where(m[:, None], ch_sorted[j][None, :], out)
+        lpj_out = jnp.where(m, cval[j], lpj_out)
+        idx = jnp.where(m, S + cidx[j], idx)
+    return out, lpj_out, jnp.sum(swap), idx
+
+
 def vary_Kn_whole_set(
     ss_n: jnp.ndarray,  # [S, H] bool
     lpj_n: jnp.ndarray,  # [S]

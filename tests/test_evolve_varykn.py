@@ -110,6 +110,40 @@ def test_vary_kn_keeps_states_consistent_with_lpj(rng):
     assert np.allclose(recomputed, np.asarray(lpj2), rtol=1e-5)
 
 
+def test_vary_kn_swap_matches_topk_as_set(rng):
+    """vary_Kn_swap produces exactly vary_Kn's K^(n) SET (states + lpj),
+    only slot-stable instead of lpj-sorted; surviving old rows keep their
+    positions; idx obeys the same concat(old, children) contract."""
+    from evo_tpu.variational.varykn import vary_Kn_swap
+
+    S, H, T = 8, 12, 5
+    for trial in range(20):
+        ss = make_unique_states(rng, S + T, H)
+        old, new = jnp.asarray(ss[:S], jnp.int8), jnp.asarray(ss[S:], jnp.int8)
+        lpj_old = jnp.asarray(rng.normal(size=S).astype(np.float32))
+        lpj_new = np.asarray(rng.normal(size=T), np.float32)
+        if trial % 3 == 0:
+            lpj_new[rng.integers(T)] = -np.inf  # masked duplicate child
+        lpj_new = jnp.asarray(lpj_new)
+        mprime = [S, 2, T][trial % 3]
+        a_ss, a_lpj, a_sub, a_idx = vary_Kn(old, lpj_old, new, lpj_new, mprime)
+        b_ss, b_lpj, b_sub, b_idx = vary_Kn_swap(old, lpj_old, new, lpj_new,
+                                                 mprime)
+        set_a = sorted((tuple(s.tolist()), float(l))
+                       for s, l in zip(np.asarray(a_ss), np.asarray(a_lpj)))
+        set_b = sorted((tuple(s.tolist()), float(l))
+                       for s, l in zip(np.asarray(b_ss), np.asarray(b_lpj)))
+        assert set_a == set_b
+        assert int(a_sub) == int(b_sub)
+        # slot stability: rows not swapped are bit-identical in place
+        kept = np.asarray(b_idx) < S
+        assert np.all(np.asarray(b_idx)[kept] == np.arange(S)[kept])
+        assert np.array_equal(np.asarray(b_ss)[kept], np.asarray(old)[kept])
+        # idx contract: stored row == concat(old, children)[idx]
+        cat = np.concatenate([np.asarray(old), np.asarray(new)], 0)
+        assert np.array_equal(np.asarray(b_ss), cat[np.asarray(b_idx)])
+
+
 def test_vary_kn_whole_set_reject_worse(rng):
     """Reference non-unification semantics (utils.py:325-335): whole-set
     replacement iff the summed lpj does not decrease; both counters zero on
