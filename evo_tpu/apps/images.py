@@ -195,16 +195,19 @@ def run_denoising(args) -> dict:
 
 
 def run_inpainting(args) -> dict:
-    """MCAR inpainting: a fraction of pixels set to NaN (reference
-    examples/image-inpainting/main.py:78-111)."""
+    """MCAR inpainting: a fraction of VALUES set to NaN (reference
+    examples/image-inpainting/main.py:78-111).  The draw runs over the full
+    image shape — for RGB that is per channel-entry, so a pixel can be
+    missing in one channel and observed in another, exactly like the
+    reference's `np.random.random(clean.shape)` (main.py:83)."""
     apply_platform_env()
     warm_d2h_async()
     clean = get_image(args.clean_image, args.rescale)
     rng = np.random.default_rng(args.seed)
     corrupted = clean.astype(float).copy()
-    miss = rng.random(clean.shape[:2]) < args.percentage_missing
+    miss = rng.random(clean.shape) < args.percentage_missing
     corrupted[miss] = np.nan
-    print(f"Set {100 * args.percentage_missing:.0f}% of pixels to missing")
+    print(f"Set {100 * args.percentage_missing:.0f}% of values to missing")
     ph, pw = args.patch_height, args.patch_width or args.patch_height
     isrgb = clean.ndim == 3
     OVP = MultiDimOverlappingPatches if isrgb else OverlappingPatches

@@ -135,6 +135,53 @@ key = jax.random.fold_in(jax.random.key(7), 4)
 params3, estate3, stats, _ = model.em_step(params2, estate2, data, key, cfg)
 Fs.append(float(stats.F))
 
+# ---- incomplete-data phase: NaNs ONLY in process 0's rows, so the
+# per-process incomplete_local flags DISAGREE — executes the
+# process_allgather OR-reduce (distributed.py make_global_data) and the
+# masked global_init_stats path under a real 2-process cluster
+Y2 = Y.copy()
+miss = np.random.default_rng(5).random(Y.shape) < 0.1
+rows_p0 = np.zeros(N, dtype=bool)
+for b in range(nb):
+    rows_p0[b * B : b * B + B_loc] = True
+miss &= rows_p0[:, None]
+assert miss.any()
+Y2[miss] = np.nan
+y2_local = np.concatenate(
+    [Y2[b * B + pid * B_loc : b * B + (pid + 1) * B_loc] for b in range(nb)]
+)
+assert np.isnan(y2_local).any() == (pid == 0)  # the flags really disagree
+data2 = make_global_data(y2_local, n_blocks=nb, mesh=mesh)
+assert data2.incomplete  # OR-reduced: True on BOTH processes
+
+params_i0 = model.standard_init(data2, seed=0, y_host=y2_local)
+np.testing.assert_allclose(
+    np.asarray(params_i0.W), exp["W_init_inc"], rtol=1e-4, atol=1e-5
+)
+np.testing.assert_allclose(
+    float(params_i0.sigma), float(exp["sigma_init_inc"]), rtol=1e-4
+)
+
+cfg2, estate2_full = init_states(
+    N=N, S=S, H=H, no_parents=4, no_children=1, no_generations=2,
+    n_blocks=nb, seed=3,
+)
+estate2_loc = jax.tree.map(
+    lambda a: np.asarray(a)[:, pid * B_loc : (pid + 1) * B_loc], estate2_full
+)
+estate_i = distribute_estate(estate2_loc, mesh)
+params_i = BSCParams(
+    W=jnp.asarray(exp["W_init_inc"]),
+    pi=jnp.asarray(np.float32(exp["pi_init_inc"])),
+    sigma=jnp.asarray(np.float32(exp["sigma_init_inc"])),
+    pies=jnp.asarray(exp["pies_init_inc"]),
+)
+params_i, estate_i, stats_i, y_rec_i = model.em_step(
+    params_i, estate_i, data2, jax.random.key(11), cfg2,
+    do_reconstruction=True,
+)
+rec_i = gather_reconstruction(y_rec_i, N)
+
 np.savez(
     os.path.join(outdir, f"results_{pid}.npz"),
     F=np.asarray(Fs),
@@ -142,5 +189,7 @@ np.savez(
     sigma=np.asarray(params3.sigma),
     pi=np.asarray(params3.pi),
     rec=rec,
+    F_inc=np.float64(float(stats_i.F)),
+    rec_inc=rec_i,
 )
 print(f"[worker {pid}] OK", flush=True)

@@ -49,12 +49,30 @@ def _single_process_expected(outdir: str):
     data = make_data(Y, n_blocks=nb)
     model = BSC(D=D, H=H)
     params = model.standard_init(data, seed=0)
+
+    # incomplete-data variant (NaNs only in the rows that land on worker
+    # process 0 — the same mask construction as mp_worker.py)
+    Y2 = Y.copy()
+    miss = np.random.default_rng(5).random(Y.shape) < 0.1
+    rows_p0 = np.zeros(N, dtype=bool)
+    for b in range(nb):
+        rows_p0[b * B : b * B + B_loc] = True
+    miss &= rows_p0[:, None]
+    Y2[miss] = np.nan
+    data2 = make_data(Y2, n_blocks=nb)
+    assert data2.incomplete
+    params_i = model.standard_init(data2, seed=0, y_host=Y2)
+
     np.savez(
         os.path.join(outdir, "expected.npz"),
         W_init=np.asarray(params.W),
         sigma_init=np.asarray(params.sigma),
         pi_init=np.asarray(params.pi),
         pies_init=np.asarray(params.pies),
+        W_init_inc=np.asarray(params_i.W),
+        sigma_init_inc=np.asarray(params_i.sigma),
+        pi_init_inc=np.asarray(params_i.pi),
+        pies_init_inc=np.asarray(params_i.pies),
     )
     cfg, estate = init_states(
         N=N, S=S, H=H, no_parents=4, no_children=1, no_generations=2,
@@ -74,13 +92,25 @@ def _single_process_expected(outdir: str):
     key = jax.random.fold_in(jax.random.key(7), 4)
     params, estate, stats, _ = model.em_step(params, estate, data, key, cfg)
     Fs.append(float(stats.F))
-    return np.asarray(Fs), params, rec
+
+    # incomplete-data phase expectation
+    cfg2, estate2 = init_states(
+        N=N, S=S, H=H, no_parents=4, no_children=1, no_generations=2,
+        n_blocks=nb, seed=3,
+    )
+    params_i, estate2, stats_i, y_rec_i = model.em_step(
+        params_i, estate2, data2, jax.random.key(11), cfg2,
+        do_reconstruction=True,
+    )
+    rec_i = gather_reconstruction(y_rec_i, N)
+    return np.asarray(Fs), params, rec, float(stats_i.F), rec_i
 
 
 @pytest.mark.slow
 def test_two_process_run_matches_single_process(tmp_path):
     outdir = str(tmp_path)
-    Fs_exp, params_exp, rec_exp = _single_process_expected(outdir)
+    Fs_exp, params_exp, rec_exp, F_inc_exp, rec_inc_exp = (
+        _single_process_expected(outdir))
 
     port = _free_port()
     env = dict(os.environ)
@@ -112,7 +142,7 @@ def test_two_process_run_matches_single_process(tmp_path):
     ]
 
     # every process computed the identical results (SPMD symmetry)
-    for k in ("F", "W", "sigma", "pi", "rec"):
+    for k in ("F", "W", "sigma", "pi", "rec", "F_inc", "rec_inc"):
         np.testing.assert_array_equal(results[0][k], results[1][k])
 
     # the 5-epoch F trajectory (incl. the post-checkpoint-resume epoch)
@@ -141,4 +171,23 @@ def test_two_process_run_matches_single_process(tmp_path):
     )
     np.testing.assert_allclose(
         results[0]["rec"], rec_mp_order, rtol=1e-3, atol=1e-4
+    )
+
+    # incomplete-data phase: OR-reduced flag + masked init + masked em_step
+    # reproduce the single-process run
+    np.testing.assert_allclose(
+        float(results[0]["F_inc"]), F_inc_exp, rtol=2e-4)
+    rec_inc_mp_order = np.concatenate(
+        [
+            np.concatenate(
+                [
+                    rec_inc_exp[b * B + pid * B_loc : b * B + (pid + 1) * B_loc]
+                    for b in range(nb)
+                ]
+            )
+            for pid in range(P)
+        ]
+    )
+    np.testing.assert_allclose(
+        results[0]["rec_inc"], rec_inc_mp_order, rtol=1e-3, atol=1e-4
     )
