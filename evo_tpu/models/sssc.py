@@ -52,7 +52,7 @@ from evo_tpu.ops.numerics import posterior_weights, reset_lpj, shifted_logsumexp
 from evo_tpu.variational.config import EAConfig
 from evo_tpu.variational.evolve import evolve_states_block
 from evo_tpu.variational.state_init import EState, full_state_matrix
-from evo_tpu.variational.varykn import vary_Kn, vary_Kn_whole_set
+from evo_tpu.variational.varykn import vary_Kn, vary_Kn_swap, vary_Kn_whole_set
 
 PARAM_TOL = 1e-5  # reference noise_policy bounds (sssc.py:40,51-58)
 EPS_W = 5e-5
@@ -391,8 +391,9 @@ class SSSC:
                 )
                 all_aux.extend(aux)
                 if cfg.unification:
+                    merge = vary_Kn_swap if cfg.swap_merge else vary_Kn
                     ss2, lpj2, n_sub, idx = jax.vmap(
-                        vary_Kn, in_axes=(0, 0, 0, 0, None)
+                        merge, in_axes=(0, 0, 0, 0, None)
                     )(ss_b, lpj_K, children, child_lpj, cfg.mprime)
                     n_uni = new_unique.sum(axis=1).astype(jnp.int32)
                 else:

@@ -76,12 +76,14 @@ def vary_Kn_swap(
     positional best-new-for-worst-old swapping, utils.py:294-319, rather
     than a sorted rebuild).
 
-    Why it exists: `vary_Kn` rebuilds all S rows through a [S, S+T] one-hot
-    matmul, so every epoch rewrites the whole state stack through an f32
-    intermediate even though at most T (= #children, typically ~10) rows can
-    change.  Here only the min(T, S) worst slots can be written: the merge
-    lowers to a small [T]-row gather plus T fused int8 selects over [S, H] —
-    no f32 [S, H] intermediate, no permutation of untouched rows.
+    Why it exists: it reproduces the reference's positional row semantics
+    exactly (slots are stable across epochs), which the trajectory-exact EA
+    mirror (variational/mirror.py) relies on.  It was ALSO hypothesized to
+    be faster ("write only where a child won"), but measured ~1.8x SLOWER
+    than vary_Kn's one-hot-matmul rebuild at the north-star config (83.8 vs
+    46.0 ms/epoch, tools/measure_swap_merge.py): the per-child fused selects
+    unroll into min(T, S) full [S, H] passes that XLA materializes.  Keep
+    vary_Kn for perf; use this for reference-exact positional behavior.
 
     Equivalence: pairing the j-th best eligible child with the j-th worst
     old row and swapping iff strictly better yields exactly the top-S of

@@ -144,6 +144,44 @@ def test_vary_kn_swap_matches_topk_as_set(rng):
         assert np.array_equal(np.asarray(b_ss), cat[np.asarray(b_idx)])
 
 
+def test_swap_merge_epoch_equivalence_bsc_and_sssc(rng):
+    """EAConfig.swap_merge only changes the ROW ORDER of the merged K^(n);
+    one em_step's F and M-step parameters are order-invariant reductions, so
+    both merge routes must agree to fp tolerance — for BSC and for SSSC
+    (whose XLA path additionally exercises the idx-based stash gather)."""
+    from evo_tpu.models.base import make_data
+    from evo_tpu.models.bsc import BSC
+    from evo_tpu.models.sssc import SSSC
+    from evo_tpu.variational.state_init import init_states
+    import dataclasses
+
+    N, D, H, S = 64, 9, 6, 8
+    Y = rng.normal(size=(N, D)).astype(np.float32) * 2.0
+
+    for model in (BSC(D=D, H=H), SSSC(D=D, H=H)):
+        data = make_data(Y, n_blocks=2)
+        cfg, estate = init_states(N=N, S=S, H=H, no_parents=4, no_children=2,
+                                  no_generations=2, n_blocks=2, seed=1)
+        params = model.standard_init(data, seed=0)
+        key = jax.random.key(5)
+        p_a, e_a, st_a, _ = model.em_step(params, estate, data, key, cfg)
+        cfg_sw = dataclasses.replace(cfg, swap_merge=True)
+        p_b, e_b, st_b, _ = model.em_step(params, estate, data, key, cfg_sw)
+        np.testing.assert_allclose(float(st_a.F), float(st_b.F), rtol=1e-5)
+        assert int(jnp.sum(st_a.S_sub)) == int(jnp.sum(st_b.S_sub))
+        for name in ("W",):
+            np.testing.assert_allclose(
+                np.asarray(getattr(p_a, name)), np.asarray(getattr(p_b, name)),
+                rtol=2e-4, atol=2e-5, err_msg=f"{type(model).__name__}.{name}")
+        # the merged sets are equal per datapoint (order aside)
+        sa = np.asarray(e_a.ss).reshape(N, S, H)
+        sb = np.asarray(e_b.ss).reshape(N, S, H)
+        for n in range(0, N, 7):
+            set_a = {tuple(r.tolist()) for r in sa[n]}
+            set_b = {tuple(r.tolist()) for r in sb[n]}
+            assert set_a == set_b, n
+
+
 def test_vary_kn_whole_set_reject_worse(rng):
     """Reference non-unification semantics (utils.py:325-335): whole-set
     replacement iff the summed lpj does not decrease; both counters zero on
