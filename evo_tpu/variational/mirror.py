@@ -36,6 +36,7 @@ from __future__ import annotations
 from itertools import combinations
 
 import numpy as np
+from scipy.special import logsumexp
 
 
 # --------------------------------------------------------------------------
@@ -293,3 +294,78 @@ def vary_Kn_mirror(
         states[bad[j]] = sn[good[j]]
         lpj_old[bad[j]] = ln[good[j]]
     return states, lpj_old, n_uni, good.size
+
+
+# --------------------------------------------------------------------------
+# the COMPLETE E-step loop (reference _models.py:454-565) — functional form
+# --------------------------------------------------------------------------
+
+
+def E_step_mirror(
+    ss,  # [N, S, H] bool — K^(n) sets, updated IN PLACE
+    lpj,  # [N, S_perm + S] float — stored lpjs, updated IN PLACE
+    eval_lpj,  # callable (n, states [K, H] bool) -> [K] float
+    *,
+    eval_lpj_perm=None,  # callable (n) -> [S_perm] float (permanent rows)
+    incl=None,  # [S_perm, H] bool — permanent states
+    n_parents,
+    n_children,
+    n_generations,
+    parent_selection="fit",
+    mutation_algorithm="randflip",
+    bitflip_prob=None,
+    sparseness,
+    Mprime=None,
+    unification=True,
+    reject_worse=True,
+    background=False,
+    B_max=0.0,  # reference _models.py:55-56 defaults
+    B_max_shft=np.inf,
+    ljc=0.0,  # log-joint constant, model_params["ljc"]
+):
+    """Bit-exact mirror of the reference's complete per-epoch E-step loop
+    (_models.py:454-565): per datapoint IN ORDER, refresh the permanent-state
+    lpj rows (skipped under `background`, _models.py:508-512), evaluate the
+    current K^(n), evolve new states (consuming the global np.random stream
+    exactly as the reference does), and merge via vary_Kn — then the
+    B-shifted free energy over the FULL lpj array including permanent rows
+    (_models.py:543-547).
+
+    `ss` and `lpj` are updated in place like the reference's my_suff_stat
+    arrays.  Returns (F, S_nunique, S_sub) with the reference's per-N
+    averaging (single-process framing: comm.allreduce == identity).
+    """
+    N, S, H = ss.shape
+    if incl is None:
+        incl = np.zeros((0, H), dtype=bool)
+    S_perm = len(incl)
+    assert lpj.shape == (N, S_perm + S)
+    if Mprime is None:
+        Mprime = S
+
+    S_nunique = 0.0
+    S_sub = 0.0
+    for n in range(N):
+        if not background and S_perm > 0:
+            lpj[n, :S_perm] = eval_lpj_perm(n)
+        this_lpj = np.asarray(eval_lpj(n, ss[n]), dtype=float)
+        new_s, new_l = evolve_states_mirror(
+            ss[n], this_lpj, lambda st: eval_lpj(n, st),
+            n_parents=n_parents, n_children=n_children,
+            n_generations=n_generations, parent_selection=parent_selection,
+            mutation_algorithm=mutation_algorithm,
+            bitflip_prob=bitflip_prob, sparseness=sparseness,
+            incl=incl, background=background,
+        )
+        ss_n, lpj_n, n_uni, n_sub = vary_Kn_mirror(
+            ss[n], this_lpj, new_s, new_l, incl=incl, Mprime=Mprime,
+            unification=unification, reject_worse=reject_worse,
+        )
+        ss[n] = ss_n
+        lpj[n, S_perm:] = lpj_n
+        S_nunique += n_uni
+        S_sub += n_sub
+
+    B = np.minimum(B_max - lpj.max(axis=1), B_max_shft)  # [N]
+    F = ljc + float((logsumexp(lpj + B[:, None], axis=1) - B).sum()) / N
+    return F, S_nunique / N, S_sub / N

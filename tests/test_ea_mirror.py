@@ -20,6 +20,7 @@ import pytest
 from evo_tpu.variational.mirror import (
     MIRROR_MUTATION,
     MIRROR_SELECTION,
+    E_step_mirror,
     evolve_states_mirror,
     vary_Kn_mirror,
 )
@@ -234,3 +235,86 @@ def test_full_ea_epoch_trajectory_bit_exact(ref_ea, rng):
     got_ss, got_lpj = run_mirror(123)
     assert np.array_equal(want_ss, got_ss)
     assert np.array_equal(want_lpj, got_lpj)
+
+
+@pytest.mark.parametrize("mutation,selection,bf", [
+    ("randflip", "fit", None),
+    ("cross_sparseflip", "rand", 0.12),
+])
+def test_complete_E_step_bit_exact_vs_reference_model(ref_ea, rng, mutation,
+                                                      selection, bf):
+    """NEXT r3 #5 (mirror-mode breadth): E_step_mirror reproduces the
+    reference's COMPLETE E_step method (_models.py:454-565) bit-for-bit on a
+    real BSC model — permanent-state (allzero) lpj rows, per-datapoint
+    evolve + vary_Kn with the shared np.random stream, lpj-reset counters,
+    and the B-shifted free energy — over two consecutive epochs.
+
+    Both sides call the reference model's own log_pseudo_joint functions, so
+    any mismatch isolates the LOOP (RNG order, dedup order, merge pairing,
+    permanent-row handling), which is exactly what the mirror documents."""
+    import evo.models as ref_models
+
+    _, ref_vutils = ref_ea
+    D, H, N, S = 7, 9, 6, 8
+    n_par, n_chl, n_gen = 4, 2, 2
+    pi, sigma = 0.22, 1.15
+    W = rng.standard_normal((D, H))
+    Y = rng.standard_normal((N, D)) * 2.0
+    x_infr = np.ones((N, D), bool)
+
+    np.random.seed(31)  # init_states draws the initial K^(n)
+    suff_r = ref_vutils.init_states(
+        N, S, H, selection, mutation, n_par, n_chl, n_gen, bitflip_prob=bf,
+        permanent={"allzero": True, "background": False, "singletons": False})
+    S_perm = suff_r["S_perm"]
+    assert S_perm == 1
+    ss0, lpj0 = suff_r["ss"].copy(), suff_r["lpj"].copy()
+    incl = suff_r["incl"].copy()
+    # crossover overrides n_children to n_parents-1 (utils.py:202-207)
+    n_chl_eff = suff_r["n_children"]
+
+    # ---- reference: two full E_step epochs
+    model_r = ref_models.BSC(D, H, S)
+    theta_r = {"W": W.copy(), "pi": pi, "sigma": sigma}
+    data_r = {"y": Y.copy(), "x_infr": x_infr.copy()}
+    np.random.seed(77)
+    for _ in range(2):
+        F_r, S_nuni_r, S_sub_r = model_r.E_step(theta_r, suff_r, data_r)
+
+    # ---- mirror: same lpj callables, same seed, the mirror's loop
+    model_m = ref_models.BSC(D, H, S)
+    theta_m = {"W": W.copy(), "pi": pi, "sigma": sigma}
+    aux = {"permanent": {"allzero": True, "background": False,
+                         "singletons": False}, "S_perm": S_perm}
+    data_m = {"y": Y.copy(), "x_infr": x_infr.copy()}
+
+    def eval_lpj(n, states):
+        data_m["this_y"], data_m["this_x_infr"] = Y[n], x_infr[n]
+        aux["this_states"] = np.asarray(states, bool)
+        return model_m.log_pseudo_joint(theta_m, aux, data_m)
+
+    def eval_perm(n):
+        data_m["this_y"], data_m["this_x_infr"] = Y[n], x_infr[n]
+        return model_m.log_pseudo_joint_permanent_states(theta_m, aux, data_m)
+
+    ss_m, lpj_m = ss0.copy(), lpj0.copy()
+    np.random.seed(77)
+    for _ in range(2):
+        # E_step calls E_step_precompute each epoch (_models.py:490) — it
+        # sets ljc/pre1/pil_bar and ZEROES the reset counters
+        model_m.E_step_precompute(theta_m, aux, data_m)
+        F_m, S_nuni_m, S_sub_m = E_step_mirror(
+            ss_m, lpj_m, eval_lpj, eval_lpj_perm=eval_perm, incl=incl,
+            n_parents=n_par, n_children=n_chl_eff, n_generations=n_gen,
+            parent_selection=selection, mutation_algorithm=mutation,
+            bitflip_prob=bf, sparseness=theta_m["piH"],
+            Mprime=suff_r["Mprime"], ljc=theta_m["ljc"],
+            B_max=model_m.B_max, B_max_shft=model_m.B_max_shft)
+
+    assert F_m == F_r, (F_m, F_r)
+    assert S_nuni_m == S_nuni_r and S_sub_m == S_sub_r
+    np.testing.assert_array_equal(ss_m, suff_r["ss"])
+    np.testing.assert_array_equal(lpj_m, suff_r["lpj"])
+    for c in ("reset_lpj_isnan", "reset_lpj_smaller_eps_lpj",
+              "reset_lpj_isinf"):
+        assert aux[c] == suff_r[c]
