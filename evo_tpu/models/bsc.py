@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from evo_tpu.models.base import Data, StepStats, block_gram
 from evo_tpu.ops.bitpack import (
-    finalize_keys,
     pack_bits_lane,
     unpack_bits_lane,
 )
@@ -262,10 +261,11 @@ class BSC:
             if use_pallas:
                 emit = not packed and not cfg.exact
                 if emit:
-                    lpj, raw = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
-                                              pre["pre1"], pre["pil_bar"],
-                                              emit_keys=True)
-                    dkeys = finalize_keys(raw)
+                    # the kernel emits FINAL dedup keys from VMEM (exact or
+                    # hashed per ops.bitpack.dedup_keys' policy)
+                    lpj, dkeys = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
+                                                pre["pre1"], pre["pil_bar"],
+                                                emit_keys=True)
                 else:
                     lpj = bsc_lpj_pallas(states_b, Wty_b, y2_b, G_b,
                                          pre["pre1"], pre["pil_bar"])

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 WORD_BITS = 32
 
@@ -143,32 +144,75 @@ def dedup_keys_packed(packed: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     return hash_words(keys)
 
 
+def _fmix32(k: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer (avalanche), int32 carrier with logical shifts —
+    bit-identical to the uint32 formulation, Mosaic-friendly."""
+    srl = jax.lax.shift_right_logical
+
+    def mul(a, c):
+        return a * jnp.int32(np.int32(np.uint32(c)))
+
+    k = k ^ srl(k, 16)
+    k = mul(k, 0x85EBCA6B)
+    k = k ^ srl(k, 13)
+    k = mul(k, 0xC2B2AE35)
+    return k ^ srl(k, 16)
+
+
+def hash_halfwords(hw: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Canonical dedup hash: little-endian 16-bit halfword values
+    [..., W16] (integer-valued, each < 2^16) -> 2 uint32 hash words
+    [..., 2]: two independent multilinear sums k = sum_v c_v * h_v mod 2^32
+    (fixed odd constants) with a murmur3 finalizer.
+
+    Why this form: it is pure full-lane multiplies + one lane-reduction —
+    no per-halfword lane extraction — so the Pallas lpj kernel calls THIS
+    VERY FUNCTION on its VMEM-resident halfwords and emits final keys,
+    eliminating the XLA-side packing/hashing and its ~6 ms/epoch of layout
+    copies at the benchmark config.  Arithmetic rides an int32 carrier
+    (wraparound bits identical to uint32; shifts explicitly logical) since
+    Mosaic's u32 support is narrower.
+
+    Collisions: odd c_v makes states differing in a SINGLE halfword
+    collision-free (c_v * d == 0 mod 2^32 has no solution for 0 < |d| <
+    2^16); multi-halfword differences collide with probability ~2^-64
+    (generic) and provably <= 2^-32 even for adversarial power-of-two
+    difference patterns.  A false duplicate only suppresses one candidate
+    state for one datapoint-epoch — negligible at any realistic scale
+    (< 1e-9 per epoch at the N=100k benchmark config).  Callers keep exact
+    keys when they fit 2 words (see dedup_keys).
+
+    `axis` selects the halfword axis (the Pallas caller keeps halfwords on
+    the MAJOR axis of a [W16, B, K] array so the lane dims stay dense —
+    a minor-axis W16=16 would be tile-padded to 128 lanes, an 8x HBM
+    bloat); the hash value is axis-invariant."""
+    axis = axis % hw.ndim
+    W16 = hw.shape[axis]
+    # the odd constants are DERIVED by traced ops from an iota (splitmix32
+    # scramble of the halfword index) — Pallas kernels cannot capture
+    # constant arrays, and this way the kernel and the XLA path literally
+    # share this code
+    golden = jnp.int32(np.int32(np.uint32(0x9E3779B9)))
+    cshape = tuple(W16 if d == axis else 1 for d in range(hw.ndim))
+    i1 = jax.lax.broadcasted_iota(jnp.int32, cshape, axis)
+    c1 = _fmix32((i1 + 1) * golden) | 1
+    c2 = _fmix32((i1 + 1 + W16) * golden) | 1
+    h = hw.astype(jnp.int32)
+    k1 = jnp.sum(h * c1, axis=axis, dtype=jnp.int32)
+    k2 = jnp.sum(h * c2, axis=axis, dtype=jnp.int32)
+    out = jnp.stack([_fmix32(k1), _fmix32(k2)], axis=-1)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+
 def hash_words(keys: jnp.ndarray) -> jnp.ndarray:
-    """Mix packed words [..., W] uint32 into 2 uint32 hash words [..., 2].
-
-    Used to cut duplicate-detection cost for large H (compare 2 words
-    instead of ceil(H/32)).  64 bits of hash make a false duplicate —
-    which only suppresses one candidate state for one datapoint-epoch —
-    astronomically unlikely (~1e-12 per epoch at the N=100k benchmark
-    scale); callers keep exact keys when W <= 2 (see dedup_keys)."""
-    W = keys.shape[-1]
-    h1 = jnp.full(keys.shape[:-1], 0x811C9DC5, jnp.uint32)
-    h2 = jnp.full(keys.shape[:-1], 0x9E3779B9, jnp.uint32)
-    for w in range(W):
-        x = keys[..., w]
-        h1 = (h1 ^ x) * jnp.uint32(0x01000193)  # FNV-1a step
-        h2 = (h2 + x) * jnp.uint32(0x85EBCA6B)  # murmur-style mix
-        h2 = h2 ^ (h2 >> 13)
-    return jnp.stack([h1, h2], axis=-1)
-
-
-def finalize_keys(raw_words: jnp.ndarray) -> jnp.ndarray:
-    """Apply dedup_keys' hashing policy to raw packed words [..., W_raw]
-    (e.g. emitted by the Pallas lpj kernel): exact when they fit in 2
-    words, else the 64-bit hash."""
-    if raw_words.shape[-1] <= 2:
-        return raw_words
-    return hash_words(raw_words)
+    """Mix packed words [..., W] uint32 into 2 uint32 hash words [..., 2]
+    by splitting each word into its (lo, hi) halfwords — the same
+    little-endian halfword order the Pallas kernel's 16-bit packing yields
+    — and feeding the canonical halfword hash."""
+    lo = keys & jnp.uint32(0xFFFF)
+    hi = keys >> 16
+    hw = jnp.stack([lo, hi], axis=-1).reshape(keys.shape[:-1] + (-1,))
+    return hash_halfwords(hw)
 
 
 def dedup_keys(ss: jnp.ndarray, exact: bool = False) -> jnp.ndarray:

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from evo_tpu.ops.bitpack import hash_halfwords
+
 
 def unpack_lane_f32(pk):
     """In-VMEM unpack of lane-major packed states (ops.bitpack format):
@@ -66,17 +68,27 @@ def _make_kernel(packed: bool, emit_keys: bool):
             # VMEM, via an exact f32 matmul on the MXU (Mosaic cannot split
             # the lane dim for a [.., W, 32] reshape): halfword v packs
             # latents [16v, 16v+16) little-endian, with weights <= 2^15 and
-            # sums <= 2^16-1 — all exactly representable in f32.  The
-            # caller combines halfword pairs into ops.bitpack.pack_states'
-            # u32 words
+            # sums <= 2^16-1 — all exactly representable in f32.
+            #
+            # Layout lessons (device-trace-measured, in order tried):
+            # (1) minor-axis halfwords [B, K, 16] tile-pad 16 lanes to 128
+            #     — an 8x HBM bloat every consumer re-reads (~12 ms/ep);
+            # (2) finalizing to u32 [B, K, 2] keys IN VMEM poisons the
+            #     downstream dedup fusions (82 vs 46 ms/ep);
+            # (3) this form: emit TRANSPOSED [W16, bb*K] via a second MXU
+            #     contraction (same FLOPs, reversed operand order), lane
+            #     dim bb*K fully dense; the multilinear hash then reduces
+            #     over the MAJOR axis with no padding anywhere.
             W16 = H // 16
-            hh = jax.lax.broadcasted_iota(jnp.int32, (H, W16), 0)
-            ww = jax.lax.broadcasted_iota(jnp.int32, (H, W16), 1)
-            P16 = jnp.where(hh // 16 == ww,
-                            (jnp.int32(1) << (hh % 16)).astype(jnp.float32),
-                            0.0)
-            words16 = jnp.dot(sf2, P16, preferred_element_type=jnp.float32)
-            keys_ref[0][:] = words16.astype(jnp.int32).reshape(bb, K, W16)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (W16, H), 1)
+            ww = jax.lax.broadcasted_iota(jnp.int32, (W16, H), 0)
+            P16T = jnp.where(hh // 16 == ww,
+                             (jnp.int32(1) << (hh % 16)).astype(jnp.float32),
+                             0.0)  # [W16, H]
+            wT = jax.lax.dot_general(
+                P16T, sf2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [W16, bb*K]
+            keys_ref[0][:] = wT.astype(jnp.int32)
 
     return _kernel
 
@@ -90,9 +102,11 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
     (EAConfig.packed_states: unpacked entirely in VMEM — the 8x-smaller HBM
     read is the fastest path); Wty: f32 [B, H]; y2: f32 [B]; G: f32 [H, H]
     (shared Gram, complete data).  Returns lpj f32 [B, K] — or, with
-    emit_keys, (lpj, key words int32 [B, K, ceil(H/32)] bit-identical to
-    ops.bitpack.pack_states of the same states, so callers skip the
-    separate HBM pass that would otherwise recompute them for dedup).
+    emit_keys, (lpj, FINAL dedup keys uint32 [B, K, W] bit-identical to
+    ops.bitpack.dedup_keys of the same states: exact pack_states words when
+    W = ceil(H/32) <= 2, else the 2-word canonical halfword hash — computed
+    entirely in VMEM so callers skip the separate HBM pass AND the XLA-side
+    pack/hash with its layout copies).
 
     Requires B % block_rows == 0; H should be a multiple of 128 for full
     lane utilization (callers gate on this)."""
@@ -113,10 +127,12 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
     out_shape = jax.ShapeDtypeStruct((B, K), jnp.float32)
     out_specs = pl.BlockSpec((bb, K), lambda i: (i, 0))
     if emit_keys:
+        # transposed halfwords [W16, B*K]: each grid step's rows are a
+        # contiguous column span, and the lane dim stays tile-dense
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((B, K, W16), jnp.int32))
+                     jax.ShapeDtypeStruct((W16, B * K), jnp.int32))
         out_specs = (out_specs,
-                     pl.BlockSpec((bb, K, W16), lambda i: (i, 0, 0)))
+                     pl.BlockSpec((W16, bb * K), lambda i: (0, i)))
 
     out = pl.pallas_call(
         _make_kernel(packed, emit_keys),
@@ -140,10 +156,13 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
       Wty.astype(jnp.float32),
       y2.astype(jnp.float32).reshape(B, 1), G.astype(jnp.float32))
     if emit_keys:
-        lpj, words16 = out  # [B, K, H/16] int32, values in [0, 2^16)
-        lo = words16[..., 0::2].astype(jnp.uint32)
-        hi = words16[..., 1::2].astype(jnp.uint32)
-        return lpj, lo | (hi << 16)  # == ops.bitpack.pack_states(ss)
+        lpj, hwT = out  # [H/16, B*K] int32 halfwords in [0, 2^16)
+        hwT = hwT.reshape(W16, B, K)  # free: same linear element order
+        if H <= 64:  # exact ops.bitpack.pack_states words
+            lo = hwT[0::2].astype(jnp.uint32)
+            hi = hwT[1::2].astype(jnp.uint32)
+            return lpj, jnp.moveaxis(lo | (hi << 16), 0, -1)
+        return lpj, hash_halfwords(hwT, axis=0)
     return out
 
 

@@ -35,22 +35,26 @@ def test_pallas_gating():
     assert not pallas_lpj_applicable(4096, 64, 256, incomplete=True)
 
 
-def test_pallas_lpj_emit_keys_matches_pack_states(rng):
-    """The key words emitted by the kernel (exact f32 MXU packing into
-    16-bit halfwords, combined outside) must equal ops.bitpack.pack_states
-    bit-for-bit."""
-    from evo_tpu.ops.bitpack import pack_states
+def test_pallas_lpj_emit_keys_matches_dedup_keys(rng):
+    """The FINAL dedup keys emitted by the kernel (exact f32 MXU packing
+    into 16-bit halfwords, then in-VMEM finalization: exact u32 words for
+    H <= 64, else the canonical halfword hash) must equal
+    ops.bitpack.dedup_keys bit-for-bit — the cross-producer contract the
+    seen-set bookkeeping in evolve_states_block relies on."""
+    from evo_tpu.ops.bitpack import dedup_keys
 
-    B, K, H = 128, 16, 256
-    ss = jnp.asarray(rng.random((B, K, H)) < 0.3, jnp.int8)
-    G = jnp.asarray(np.eye(H, dtype=np.float32))
-    Wty = jnp.zeros((B, H), jnp.float32)
-    y2 = jnp.zeros((B,), jnp.float32)
-    lpj, keys = bsc_lpj_pallas(ss, Wty, y2, G, jnp.float32(-0.5),
-                               jnp.float32(-1.0), interpret=True,
-                               emit_keys=True)
-    want = np.asarray(pack_states(ss))
-    np.testing.assert_array_equal(np.asarray(keys), want)
+    for H in (64, 256):  # exact-words and hashed regimes
+        B, K = 128, 16
+        ss = jnp.asarray(rng.random((B, K, H)) < 0.3, jnp.int8)
+        G = jnp.asarray(np.eye(H, dtype=np.float32))
+        Wty = jnp.zeros((B, H), jnp.float32)
+        y2 = jnp.zeros((B,), jnp.float32)
+        lpj, keys = bsc_lpj_pallas(ss, Wty, y2, G, jnp.float32(-0.5),
+                                   jnp.float32(-1.0), interpret=True,
+                                   emit_keys=True)
+        assert keys.dtype == jnp.uint32
+        want = np.asarray(dedup_keys(ss))
+        np.testing.assert_array_equal(np.asarray(keys), want)
 
 
 def test_pallas_lpj_packed_input_matches_unpacked(rng):

@@ -29,6 +29,8 @@ N_TRACE = 3
 def run_epochs(logdir):
     import jax
 
+    print(f"device attach: {jax.devices()}", file=sys.stderr, flush=True)
+
     from evo_tpu.models.bsc import BSC
     from evo_tpu.models.base import make_data
     from evo_tpu.variational.state_init import init_states
@@ -47,18 +49,23 @@ def run_epochs(logdir):
     params = model.standard_init(data, seed=0, y_host=Y)
 
     key = jax.random.key(0)
-    # compile + absorb the one-time post-compile runtime cost
+    # compile + absorb the one-time post-compile runtime cost.  NOTE: end
+    # every timed/traced window on a VALUE readback — block_until_ready can
+    # silently stop blocking after tunnel restarts (CLAUDE.md), which both
+    # corrupts the wall-clock number and truncates the profiler trace.
     params, estate, stats, _ = model.em_step(params, estate, data, key, cfg)
-    jax.block_until_ready(estate.lpj)
+    print("compiled; waiting on first readback", file=sys.stderr, flush=True)
+    float(stats.F)
+    print("first readback done", file=sys.stderr, flush=True)
     for e in range(3):
         params, estate, stats, _ = model.em_step(
             params, estate, data, jax.random.fold_in(key, e), cfg)
-    jax.block_until_ready(estate.lpj)
+    float(stats.F)
     t0 = time.time()
     for e in range(10):
         params, estate, stats, _ = model.em_step(
             params, estate, data, jax.random.fold_in(key, 100 + e), cfg)
-    jax.block_until_ready(estate.lpj)
+    float(stats.F)
     print(f"pipelined: {(time.time()-t0)/10*1e3:.1f} ms/epoch",
           file=sys.stderr)
 
@@ -66,7 +73,7 @@ def run_epochs(logdir):
         for i in range(N_TRACE):
             params, estate, stats, _ = model.em_step(
                 params, estate, data, jax.random.fold_in(key, 200 + i), cfg)
-        jax.block_until_ready(estate.lpj)
+        float(stats.F)
 
 
 def parse(logdir, top: int = 30):
