@@ -205,9 +205,14 @@ def run_inpainting(args) -> dict:
     clean = get_image(args.clean_image, args.rescale)
     rng = np.random.default_rng(args.seed)
     corrupted = clean.astype(float).copy()
-    miss = rng.random(clean.shape) < args.percentage_missing
+    # --percentage_missing is a fraction; the reference CLI's --percentage
+    # is an integer percent (params.py:25) — honor both, fraction wins
+    frac = getattr(args, "percentage_missing", None)
+    if frac is None:
+        frac = float(getattr(args, "percentage", 10)) / 100.0
+    miss = rng.random(clean.shape) < frac
     corrupted[miss] = np.nan
-    print(f"Set {100 * args.percentage_missing:.0f}% of values to missing")
+    print(f"Set {100 * frac:.0f}% of values to missing")
     ph, pw = args.patch_height, args.patch_width or args.patch_height
     isrgb = clean.ndim == 3
     OVP = MultiDimOverlappingPatches if isrgb else OverlappingPatches

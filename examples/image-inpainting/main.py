@@ -17,8 +17,11 @@ def mcar_parser():
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--clean_image", type=str, default="./img/castle.jpg",
                    help="Full path to clean image (synthetic fallback if missing)")
-    p.add_argument("--percentage_missing", type=float, default=0.1,
+    p.add_argument("--percentage_missing", type=float, default=None,
                    help="Fraction of pixels set to missing (MCAR)")
+    p.add_argument("--percentage", type=int, default=10,
+                   help="Percentage of missing pixels (reference CLI, "
+                        "examples/image-inpainting/params.py:25)")
     p.add_argument("--rescale", type=float, default=0.1,
                    help="Rescale factor for the clean image")
     return p
