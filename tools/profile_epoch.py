@@ -31,14 +31,22 @@ def run_epochs(logdir):
 
     print(f"device attach: {jax.devices()}", file=sys.stderr, flush=True)
 
-    from evo_tpu.models.bsc import BSC
     from evo_tpu.models.base import make_data
     from evo_tpu.variational.state_init import init_states
 
-    N_BLOCKS, B, H, S, D = 25, 4096, 256, 64, 256
-    N = N_BLOCKS * B
-    model = BSC(D=D, H=H)
     rng = np.random.default_rng(0)
+    if os.environ.get("MODEL", "bsc") == "sssc":
+        from evo_tpu.models.sssc import SSSC
+
+        N_BLOCKS, B, H, S, D = 4, 4096, 32, 20, 25
+        N = N_BLOCKS * B
+        model = SSSC(D=D, H=H)
+    else:
+        from evo_tpu.models.bsc import BSC
+
+        N_BLOCKS, B, H, S, D = 25, 4096, 256, 64, 256
+        N = N_BLOCKS * B
+        model = BSC(D=D, H=H)
     W_gen = rng.standard_normal((D, H)).astype(np.float32)
     s_gen = rng.random((N, H)) <= 2.0 / H
     Y = (s_gen.astype(np.float32) @ W_gen.T
