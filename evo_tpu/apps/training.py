@@ -88,7 +88,12 @@ class EMTrainer:
                 self.params, self.estate, self.data, key, self.cfg,
                 do_reconstruction=rec,
             )
-            F = float(stats.F)  # blocks until the step is done
+            # ONE device->host transfer for every stats scalar (each
+            # per-field float()/int() readback pays a full dispatch
+            # round-trip — ~35 ms apiece through a tunneled TPU; see
+            # CLAUDE.md).  Also the completion barrier for the step.
+            stats = jax.device_get(stats)
+            F = float(stats.F)
             tracing.tracepoint("em_step:end")
             if capture:
                 jax.profiler.stop_trace()

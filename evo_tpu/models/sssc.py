@@ -337,15 +337,24 @@ class SSSC:
         # fused Pallas slab-solve path: candidate lpj from the VMEM-resident
         # LU kernel; sufficient statistics re-solved for the merged K^(n)
         # by the suffstat kernel (no kappa/lambda stash through HBM)
-        C = cfg.children_per_gen
         use_kernel = (
             self.lpj_kernel in ("auto", "pallas")
             and not data.incomplete
             and dt == jnp.float32
             and not cfg.packed_states
             and pallas_sssc_applicable(B, cfg.S, self.H)
-            and (cfg.exact or pallas_sssc_applicable(B, C, self.H))
         )
+        if self.lpj_kernel == "pallas" and not use_kernel:
+            # forcing the kernel must not silently fall back to XLA (the
+            # BSC path raises in the same situation) — a user forcing it
+            # to measure/debug would attribute XLA numbers to the kernel
+            raise ValueError(
+                "lpj_kernel='pallas' is not applicable here "
+                f"(incomplete={data.incomplete}, dtype={dt}, "
+                f"packed_states={cfg.packed_states}, B={B}, H={self.H}; "
+                "the kernel needs complete f32 unpacked data, B % 1024 == 0 "
+                "and pow2-padded H <= 64); use lpj_kernel='auto'"
+            )
 
         def estep_block(keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis):
             """Block-level evolutionary E-step (mirrors BSC._estep_block):

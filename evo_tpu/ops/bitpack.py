@@ -166,10 +166,13 @@ def hash_halfwords(hw: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     (fixed odd constants) with a murmur3 finalizer.
 
     Why this form: it is pure full-lane multiplies + one lane-reduction —
-    no per-halfword lane extraction — so the Pallas lpj kernel calls THIS
-    VERY FUNCTION on its VMEM-resident halfwords and emits final keys,
-    eliminating the XLA-side packing/hashing and its ~6 ms/epoch of layout
-    copies at the benchmark config.  Arithmetic rides an int32 carrier
+    no per-halfword lane extraction — so it fuses cleanly over the Pallas
+    lpj kernel's transposed [H/16, B*K] halfword output (replacing a
+    sequential FNV loop whose per-component steps forced component-major
+    relayouts, ~6 ms/epoch at the benchmark config).  The halfword
+    EMISSION happens inside the kernel from VMEM-resident states; this
+    finalize runs as XLA ops on the kernel output (in-VMEM finalization
+    was measured slower — see _make_kernel).  Arithmetic rides an int32 carrier
     (wraparound bits identical to uint32; shifts explicitly logical) since
     Mosaic's u32 support is narrower.
 

@@ -104,9 +104,13 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
     (shared Gram, complete data).  Returns lpj f32 [B, K] — or, with
     emit_keys, (lpj, FINAL dedup keys uint32 [B, K, W] bit-identical to
     ops.bitpack.dedup_keys of the same states: exact pack_states words when
-    W = ceil(H/32) <= 2, else the 2-word canonical halfword hash — computed
-    entirely in VMEM so callers skip the separate HBM pass AND the XLA-side
-    pack/hash with its layout copies).
+    W = ceil(H/32) <= 2, else the 2-word canonical halfword hash).  The
+    kernel emits 16-bit halfwords from the VMEM-resident states (so the
+    dedup path never re-reads the state array from HBM); the cheap
+    word-combine / hash_halfwords finalize runs as XLA ops on the
+    transposed [H/16, B*K] kernel output — deliberately, see the layout
+    note inside _make_kernel (finalizing in VMEM poisons the downstream
+    fusion layouts and was measured slower).
 
     Requires B % block_rows == 0; H should be a multiple of 128 for full
     lane utilization (callers gate on this)."""

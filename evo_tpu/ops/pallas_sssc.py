@@ -266,7 +266,8 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     (shared Gram); Psi: [H, H]; mus, pil_bar: [H]; s2inv scalar.
     Returns (lpj f32 [B, K], bad f32 [B, K]); bad flags states whose
     Psi_s solve was non-finite (reference sssc.py:279-283 pinv-fallback
-    counter).  Requires B % 256 == 0 (gate with pallas_sssc_applicable).
+    counter).  Requires B % 1024 == 0 (= TB; the suffstat kernel needs
+    B % 512 — gate with pallas_sssc_applicable, which checks both).
     """
     B, K, H = ss.shape
     Hp = max(8, _next_pow2(H))

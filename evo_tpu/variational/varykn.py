@@ -26,6 +26,29 @@ import jax.numpy as jnp
 from evo_tpu.ops.bitpack import take_rows
 
 
+def _prune_to_mprime(child_lpj: jnp.ndarray, Mprime: int) -> jnp.ndarray:
+    """Mask all but the Mprime best children to -inf (reference
+    utils.py:294 takes argpartition's top-Mprime before merging).
+
+    Every child strictly better than the Mprime-th value is kept; ties AT
+    the Mprime-th value are broken deterministically by index (the
+    reference's argpartition tie choice is arbitrary; equal-lpj states are
+    interchangeable for the merge).  Naively keeping "the first Mprime with
+    lpj >= kth by index" is WRONG: when the Mprime-th value is -inf (most
+    children are duplicates), leading -inf duplicates would crowd out a
+    strictly better child appearing later."""
+    T = child_lpj.shape[0]
+    if Mprime >= T:
+        return child_lpj
+    kth = jax.lax.top_k(child_lpj, Mprime)[0][-1]
+    greater = child_lpj > kth
+    n_greater = jnp.sum(greater.astype(jnp.int32))
+    tie = child_lpj == kth
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32))  # 1-based among ties
+    keep = greater | (tie & (tie_rank <= Mprime - n_greater))
+    return jnp.where(keep, child_lpj, -jnp.inf)
+
+
 def vary_Kn(
     ss_n: jnp.ndarray,  # [S, H] bool
     lpj_n: jnp.ndarray,  # [S]
@@ -47,16 +70,8 @@ def vary_Kn(
     lower indices), preserving the strictly-better swap rule.  No scatters —
     this is ~3x cheaper on TPU than the positional swap."""
     S = lpj_n.shape[0]
-    T = child_lpj.shape[0]
-    Mprime = min(Mprime, T)
-    if Mprime < T:
-        # only the best Mprime children are eligible (reference utils.py:294)
-        kth = jax.lax.top_k(child_lpj, Mprime)[0][-1]
-        rank_ok = child_lpj >= kth
-        # break ties beyond Mprime deterministically: keep first Mprime
-        csum = jnp.cumsum(rank_ok.astype(jnp.int32))
-        rank_ok = rank_ok & (csum <= Mprime)
-        child_lpj = jnp.where(rank_ok, child_lpj, -jnp.inf)
+    # only the best Mprime children are eligible (reference utils.py:294)
+    child_lpj = _prune_to_mprime(child_lpj, Mprime)
     combined_lpj = jnp.concatenate([lpj_n, child_lpj])
     vals, idx = jax.lax.top_k(combined_lpj, S)
     ss_new = take_rows(jnp.concatenate([ss_n, children], axis=0), idx)
@@ -97,13 +112,7 @@ def vary_Kn_swap(
     """
     S = lpj_n.shape[0]
     T = child_lpj.shape[0]
-    Mprime = min(Mprime, T)
-    if Mprime < T:
-        kth = jax.lax.top_k(child_lpj, Mprime)[0][-1]
-        rank_ok = child_lpj >= kth
-        csum = jnp.cumsum(rank_ok.astype(jnp.int32))
-        rank_ok = rank_ok & (csum <= Mprime)
-        child_lpj = jnp.where(rank_ok, child_lpj, -jnp.inf)
+    child_lpj = _prune_to_mprime(child_lpj, Mprime)
     M = min(T, S)
     cval, cidx = jax.lax.top_k(child_lpj, M)  # best children, desc
     nwval, wpos = jax.lax.top_k(-lpj_n, M)  # worst old slots, asc lpj

@@ -112,6 +112,9 @@ def test_inpainting_rgb_per_channel_missing(tmp_path):
     # observed entries pass through the reconstruct+merge pipeline intact
     # (mean/median of identical kept values), missing ones get filled
     assert np.allclose(rec[~miss], clean[~miss], atol=1e-3)
+
+
+def test_feature_learning_app(tmp_path):
     from evo_tpu.apps import feature_learning
 
     args = _ns(data_file=str(tmp_path / "patches.npz"), model="bsc", H=16,

@@ -98,6 +98,40 @@ def test_vary_kn_respects_mprime(rng):
     assert out == [13.0, 12.0, 4.0, 3.0]
 
 
+def test_mprime_pruning_keeps_best_child_behind_duplicates(rng):
+    """Regression: with most children masked to -inf (duplicates), the
+    Mprime eligibility pruning must still keep a strictly better child that
+    appears AFTER the leading duplicates — the top-Mprime is by VALUE
+    (reference utils.py:294 argpartition), with index order only breaking
+    ties at the Mprime-th value.  A by-index tiebreak applied to the whole
+    `>= kth` mask silently discarded the winning child whenever the
+    Mprime-th value was -inf (typical late-epoch merges)."""
+    from evo_tpu.variational.varykn import vary_Kn_swap
+
+    S, H, T = 4, 8, 6
+    ss = make_unique_states(rng, S + T, H)
+    old, new = jnp.asarray(ss[:S], jnp.int8), jnp.asarray(ss[S:], jnp.int8)
+    lpj_old = jnp.asarray(np.array([0.0, 1.0, 2.0, 3.0], np.float32))
+    child_lpj = jnp.asarray(
+        np.array([-np.inf] * (T - 1) + [10.0], np.float32))
+    for fn in (vary_Kn, vary_Kn_swap):
+        ss2, lpj2, nsub, idx = fn(old, lpj_old, new, child_lpj, 2)
+        out = sorted(np.asarray(lpj2).tolist(), reverse=True)
+        assert out == [10.0, 3.0, 2.0, 1.0], (fn.__name__, out)
+        assert int(nsub) == 1
+        # the stored state for lpj=10 is the last child
+        pos = int(np.argmax(np.asarray(lpj2)))
+        assert np.array_equal(np.asarray(ss2)[pos], ss[S + T - 1])
+    # mixed case: ties at the kth value break by index, strict winners
+    # always survive regardless of position
+    child_lpj2 = jnp.asarray(np.array(
+        [5.0, 5.0, 5.0, 7.0, -np.inf, 6.0], np.float32))
+    ss2, lpj2, nsub, _ = vary_Kn(old, lpj_old, new, child_lpj2, 3)
+    out = sorted(np.asarray(lpj2).tolist(), reverse=True)
+    # eligible children = {7, 6} + first tie at 5 -> top-4 of union
+    assert out == [7.0, 6.0, 5.0, 3.0], out
+
+
 def test_vary_kn_keeps_states_consistent_with_lpj(rng):
     S, H, T = 6, 10, 8
     ss = make_unique_states(rng, S + T, H)
