@@ -141,7 +141,7 @@ class BSC:
         """Shared tail of standard_init: the random draws use the shared
         seed, so all processes produce identical parameters."""
         rng = np.random.default_rng(seed)
-        if not isinstance(W_init, np.ndarray):
+        if isinstance(W_init, str) or W_init is None:
             if W_init == "random_uniform":
                 W = rng.random((self.D, self.H))
             elif W_init == "normal":
@@ -151,8 +151,8 @@ class BSC:
             else:
                 W = y_mean[:, None] + rng.normal(scale=sigma_init / 4.0,
                                                  size=(self.D, self.H))
-        else:
-            W = W_init
+        else:  # explicit weights: accept anything array-like (np or jax)
+            W = np.asarray(W_init)
 
         pi = 1.0 / self.H if pi_init is None else pi_init
         dt = data.y.dtype

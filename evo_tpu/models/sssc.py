@@ -131,7 +131,9 @@ class SSSC:
             if data.incomplete:
                 sigma2 = (((y - y_mean) * m) ** 2).sum() / m.sum() + 0.001
             else:
-                sigma2 = float(np.mean(np.diag(np.cov(y.T)))) + 0.001
+                # mean per-dimension variance (== np.diag(np.cov(y.T)).mean()
+                # without materializing the D x D covariance matrix)
+                sigma2 = float(np.var(y, axis=0, ddof=1).mean()) + 0.001
         else:
             sigma2 = sigma_init
         return self._finish_init(data, y_mean, sigma2, W_init, seed)
@@ -146,7 +148,7 @@ class SSSC:
         mus = rng.normal(0, 1, self.H) if "mus" in self.to_learn else np.ones(self.H)
         Psi = np.eye(self.H)
 
-        if not isinstance(W_init, np.ndarray):
+        if isinstance(W_init, str) or W_init is None:
             if W_init == "random_uniform":
                 W = rng.random((self.D, self.H))
             elif W_init == "normal":
@@ -155,8 +157,8 @@ class SSSC:
                 W = y_mean[:, None] + rng.normal(
                     scale=np.sqrt(sigma2) / 4.0, size=(self.D, self.H)
                 )
-        else:
-            W = W_init
+        else:  # explicit weights: accept anything array-like (np or jax)
+            W = np.asarray(W_init)
 
         dt = data.y.dtype
         return SSSCParams(
@@ -285,6 +287,11 @@ class SSSC:
         lpj = -0.5 * (
             logdetM + logdetP + sigma2_inv * ynorm2 - sigma2_inv**2 * quad2
         ) + sf @ pil_bar
+        # route flagged solves to NaN so reset_lpj floors them: a singular
+        # Ppad can reach this point as lpj = +-inf (logdet -inf), and the
+        # +-inf reset rule maps to B_max — the DOMINANT lpj (same hazard
+        # the Pallas kernel's sentinel had; see ops/pallas_sssc.py)
+        lpj = jnp.where(bad, jnp.asarray(jnp.nan, lpj.dtype), lpj)
         kappa = sigma2_inv * lam_u + a  # [K, H], zero on inactive units
         lam_masked = lam * sf[:, :, None] * sf[:, None, :]
         # a non-PD Psi (possible under the reference's Psi-update heuristic)

@@ -44,12 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
+from evo_tpu.ops.linalg import _next_pow2
 
 
 def _mml(X, Y):
@@ -231,10 +226,15 @@ def _make_lpj_kernel(Hp: int, H: int):
         quad2 = jnp.sum(uT * lam_u, axis=0)
         lpj = (-0.5 * (ldMP + s2inv * ynorm2 - s2inv * s2inv * quad2)
                + jnp.sum(sT * pil_ref[:][:, 0:1], axis=0))
-        # flagged solves carry no usable digits: emit -inf so the caller's
-        # reset_lpj floors (and counts) them, like the reference's
-        # np.linalg fallback path (sssc.py:279-283)
-        lpj = jnp.where(bad > 0, -jnp.inf, lpj)
+        # flagged solves carry no usable digits: emit NaN so the caller's
+        # reset_lpj floors them to eps_lpj (and counts them) — identical to
+        # the XLA path's failed-solve NaNs and to the spirit of the
+        # reference's np.linalg fallback (sssc.py:279-283).  NOT -inf:
+        # reset_lpj mirrors the reference's lpj_reset_check, whose +-inf
+        # rule maps to B_max = 0.0 — the DOMINANT lpj — because the
+        # reference only ever sees +inf overflows there; a -inf sentinel
+        # would hand numerically-broken states the best lpj in the set.
+        lpj = jnp.where(bad > 0, jnp.float32(jnp.nan), lpj)
         lpj_ref[0, :] = lpj
         bad_ref[0, :] = bad
 

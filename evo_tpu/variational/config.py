@@ -59,6 +59,14 @@ class EAConfig:
             assert self.n_parents <= self.S, "n_parents must be <= S (ref utils.py:209)"
         if "sparseflip" in self.mutation_algorithm:
             assert self.bitflip_prob is not None, "sparseflip needs bitflip_prob"
+        if "cross" in self.mutation_algorithm:
+            # crossover children come from parent PAIRS (reference
+            # eas.py:118-125); with < 2 parents the pair list is empty and
+            # the mutation would fail deep inside the jitted step
+            assert self.n_parents >= 2, (
+                f"mutation '{self.mutation_algorithm}' needs n_parents >= 2 "
+                f"(got {self.n_parents})"
+            )
         if self.Mprime is not None:
             assert self.Mprime <= self.S
         assert not (self.allzero and self.background)

@@ -21,8 +21,19 @@ def _gumbel_topk(key, log_weights, k: int):
 def fitparents_idx(key, lpj, k: int):
     """Indices of k parents sampled w/o replacement with probability
     proportional to fitness = lpj - 2*min(min(lpj), 0) (reference
-    eas.py:138-146; the normalization there is immaterial)."""
-    fitness = lpj - 2.0 * jnp.minimum(jnp.min(lpj), 0.0)
+    eas.py:138-146; the normalization there is immaterial).
+
+    Reset-floored lpjs (eps_lpj = finfo.min, from reset_lpj clamping a
+    failed solve) are excluded from the shift and given zero weight:
+    feeding finfo.min into the 2*min shift overflows the subtraction to
+    +inf for EVERY candidate, which would silently turn the weighted
+    sampling into deterministic first-k index order (the reference, f64
+    end-to-end, would instead crash in np.random.choice on the
+    inf/NaN probabilities).  For pools without floored entries —
+    every healthy epoch — this is bit-identical to the plain formula."""
+    floored = lpj <= 0.5 * jnp.finfo(lpj.dtype).min
+    m = jnp.minimum(jnp.min(jnp.where(floored, 0.0, lpj)), 0.0)
+    fitness = jnp.where(floored, 0.0, lpj - 2.0 * m)
     logw = jnp.log(fitness + jnp.finfo(lpj.dtype).tiny)
     return _gumbel_topk(key, logw, k)
 

@@ -192,7 +192,7 @@ def init_states(
         )
 
     # return blocked [nb, B, ...] to match the Data layout (models/base.py)
-    assert N % n_blocks == 0, "N (after padding) must divide n_blocks"
+    assert N % n_blocks == 0, "n_blocks must divide N (after padding)"
     B = N // n_blocks
     lpj = jnp.zeros((n_blocks, B, cfg.S_perm + cfg.S), dtype=dtype)
     ss = np.ascontiguousarray(ss.reshape(n_blocks, B, ss.shape[1], ss.shape[2]))

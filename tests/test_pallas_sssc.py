@@ -121,3 +121,17 @@ def test_lpj_kernel_flags_bad_solves():
     lpjv = np.asarray(lpj_k)[:, 0]
     rejected = ~np.isfinite(lpjv) | (lpjv < -1e4)
     assert (flagged | rejected).all()
+
+    # regression: after reset_lpj the flagged states must sit at the lpj
+    # FLOOR, never at B_max.  The kernel's sentinel used to be -inf, which
+    # reset_lpj (mirroring the reference's +-inf -> B_max = 0.0 rule,
+    # _models.py:594) mapped to the DOMINANT lpj — numerically-broken
+    # states won every merge on the Pallas path.  The sentinel is now NaN
+    # (identical to the XLA path's failed solves), which reset_lpj floors.
+    from evo_tpu.ops.numerics import eps_lpj, reset_lpj
+
+    reset, counts = reset_lpj(lpj_k)
+    r0 = np.asarray(reset)[:, 0]
+    assert flagged.any()
+    assert (r0[flagged] <= 0.5 * eps_lpj(np.float32)).all(), r0[flagged]
+    assert not np.isinf(np.asarray(lpj_k)).any()  # NaN sentinel, not -inf

@@ -32,3 +32,23 @@ def test_randparents_uniform_no_replacement():
         assert len(set(idx.tolist())) == 3
         counts[idx] += 1
     assert counts.min() > 100  # each expected 150
+
+
+def test_fitparents_robust_to_reset_floored_lpj():
+    """Regression: a reset-floored lpj (eps_lpj = finfo.min, e.g. a failed
+    SSSC solve clamped by reset_lpj) in the pool used to overflow the
+    2*min fitness shift to -inf, making EVERY candidate's fitness +inf —
+    selection silently degenerated to deterministic first-k index order.
+    Floored entries must get ~zero selection probability while the rest
+    keep fitness-proportional randomized selection."""
+    floor = float(np.finfo(np.float32).min)
+    lpj = jnp.asarray(np.array([-1.0, -1.0, -100.0, floor], np.float32))
+    picks = []
+    for i in range(200):
+        idx = np.asarray(fitparents_idx(jax.random.key(i), lpj, 2))
+        assert 3 not in idx.tolist(), "floored candidate was selected"
+        picks.append(tuple(sorted(idx.tolist())))
+    # randomness and fitness-proportionality survive: the weaker healthy
+    # candidate (index 2) still gets picked sometimes, and not always
+    assert any(2 in p for p in picks)
+    assert not all(p == picks[0] for p in picks)
