@@ -137,6 +137,12 @@ def setup_experiment(args, name: str):
     dlog = DataLog()
     dlog.set_handler(["*"], StoreToH5, training_file)
     txt_file = os.path.join(outdir, "terminal.txt")
+    # unwind any tee left by a previous experiment in this process: chained
+    # tees would write this run's output into the earlier run's
+    # terminal.txt and leak its file handle
+    while isinstance(sys.stdout, stdout_logger):
+        sys.stdout.log.close()
+        sys.stdout = sys.stdout.terminal
     sys.stdout = stdout_logger(txt_file)
     print(f"Will write training output to {training_file}")
     print(f"Will write terminal output to {txt_file}")

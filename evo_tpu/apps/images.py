@@ -129,7 +129,11 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
     # reconstruction under missing data (reference image-inpainting
     # main.py:164-167; bsc.py:185-189)
     def reconstruct_at(e):
-        return inpainting or e == 0 or (e + 1) % merge_every == 0
+        # the final epoch always reconstructs so the returned/last-logged
+        # PSNR and image reflect the final parameters even when no_epochs
+        # is not a multiple of merge_every
+        return (inpainting or e == 0 or (e + 1) % merge_every == 0
+                or e + 1 == args.no_epochs)
 
     corrupted_viz = corrupted.copy()
     if inpainting:
@@ -169,7 +173,7 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
                         # reference image-denoising/main.py:55-61: Theta is
                         # overwritten (constant-size H5) unless
                         # --save_theta_all_epochs
-                        theta_append=getattr(args, "save_theta_all_epochs", True),
+                        theta_append=getattr(args, "save_theta_all_epochs", False),
                         tracefile=getattr(args, "tracefile", None),
                         device_trace_every=getattr(args, "device_trace_every", 0))
     params, estate, stats = trainer.run(args.no_epochs,

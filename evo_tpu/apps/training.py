@@ -72,6 +72,21 @@ class EMTrainer:
             reconstruct_at: Optional[Callable[[int], bool]] = None,
             epoch_callback: Optional[Callable] = None):
         stats = None
+        if self.start_epoch >= no_epochs:
+            # resuming a checkpoint written at (or beyond) the final epoch:
+            # no steps to run, but callers read stats.F from the result —
+            # synthesize it from the checkpointed state instead of
+            # returning None (which crashed every app driver)
+            from evo_tpu.models.base import StepStats
+
+            print(f"Training already complete at epoch {self.start_epoch} "
+                  f">= {no_epochs}; nothing to run")
+            z = np.zeros((), np.int32)
+            stats = StepStats(
+                F=np.asarray(jax.device_get(self.model.free_energy(
+                    self.params, self.estate, self.data))),
+                S_nunique=z, S_sub=z,
+                n_reset_nan=z, n_reset_small=z, n_reset_inf=z)
         for e in range(self.start_epoch, no_epochs):
             self.dlog.progress(f"Epoch {e + 1} of {no_epochs}")
             t0 = time.time()

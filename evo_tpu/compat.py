@@ -76,7 +76,7 @@ class _CompatModel:
                 for f in dataclasses.fields(params)}
 
     # -- data ---------------------------------------------------------------
-    def _get_data(self, my_data: dict) -> _base.Data:
+    def _get_data(self, my_data: dict, n_blocks: int = 1) -> _base.Data:
         """Build (or reuse) the device-resident Data for the reference dict.
 
         The reference reads y/x_infr/x fresh every step, so a drop-in user
@@ -96,9 +96,12 @@ class _CompatModel:
         fp.update(np.ascontiguousarray(y))
         if x_arr is not None:
             fp.update(np.ascontiguousarray(x_arr))
-        sig = (y.shape, None if x_arr is None else x_arr.shape, fp.hexdigest())
+        sig = (y.shape, None if x_arr is None else x_arr.shape,
+               fp.hexdigest(), n_blocks)
         if self._data is None or sig != self._y_sig:
-            self._data = _base.make_data(y, x=x_arr)
+            # n_blocks must match the estate's block structure (the epoch
+            # scans over blocks), so it is part of the cache signature
+            self._data = _base.make_data(y, x=x_arr, n_blocks=n_blocks)
             self._y_sig = sig
             self._y_host = y
         return self._data
@@ -128,12 +131,13 @@ class _CompatModel:
         """Reference Model.step (evo/models/_models.py:162-203): returns
         (F, S_nunique, S_sub, theta_new); reconstructions are written to
         my_data["y_reconstructed"]."""
-        data = self._get_data(my_data)
+        estate = my_suff_stat["estate"]
+        data = self._get_data(my_data, n_blocks=int(estate.ss.shape[0]))
         cfg = my_suff_stat["cfg"]
         key = jax.random.fold_in(jax.random.key(my_suff_stat["seed"]),
                                  my_suff_stat["step"])
         params, estate, stats, y_rec = self._core.em_step(
-            self._to_params(theta), my_suff_stat["estate"], data, key, cfg,
+            self._to_params(theta), estate, data, key, cfg,
             do_reconstruction=do_reconstruction,
         )
         my_suff_stat["estate"] = estate
@@ -142,13 +146,18 @@ class _CompatModel:
             N = np.asarray(my_data["y"]).shape[0]
             my_data["y_reconstructed"] = np.asarray(y_rec).reshape(
                 -1, self.D)[:N]
+        # one device->host transfer for all scalars (per-field float()
+        # readbacks each pay a full dispatch round-trip; see CLAUDE.md)
+        stats = jax.device_get(stats)
         return (float(stats.F), float(stats.S_nunique), float(stats.S_sub),
                 self._to_dict(params))
 
     def free_energy(self, my_data: dict, theta: dict, my_suff_stat: dict = None,
                     full: bool = True):
         """Reference free_energy (evo/models/_models.py:334-451)."""
-        data = self._get_data(my_data)
+        n_blocks = (1 if my_suff_stat is None
+                    else int(my_suff_stat["estate"].ss.shape[0]))
+        data = self._get_data(my_data, n_blocks=n_blocks)
         params = self._to_params(theta)
         if full:
             return float(self._core.exact_free_energy(params, data))

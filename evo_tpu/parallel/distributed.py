@@ -90,6 +90,12 @@ def init_distributed(
         if "cpu" in str(platforms):
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         kwargs = {}
+        if coordinator_address is None:
+            # jax.distributed only auto-reads the JAX_-prefixed variable;
+            # honor the bare COORDINATOR_ADDRESS trigger by forwarding its
+            # value explicitly (otherwise triggering on it would crash
+            # initialize() with "coordinator_address should be defined")
+            coordinator_address = os.environ.get("COORDINATOR_ADDRESS") or None
         if coordinator_address is not None:
             kwargs["coordinator_address"] = coordinator_address
         if num_processes is not None:

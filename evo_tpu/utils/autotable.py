@@ -78,16 +78,18 @@ class AutoTable:
         if name not in self.h5:
             self._create(name, row)
         ds = self.h5[name]
+        # validate BEFORE resizing: a resize-then-raise would leave a
+        # phantom all-zero row that silently shifts row-to-epoch alignment
+        if row.dtype.kind not in "SU" and ds.shape[1:] != row.shape:
+            raise ValueError(
+                f"shape mismatch appending to '{name}': "
+                f"{row.shape} vs {ds.shape[1:]}"
+            )
         n = ds.shape[0]
         ds.resize(n + 1, axis=0)
         if row.dtype.kind in "SU":
             ds[n] = row.item() if row.dtype.kind == "S" else str(row)
         else:
-            if ds.shape[1:] != row.shape:
-                raise ValueError(
-                    f"shape mismatch appending to '{name}': "
-                    f"{row.shape} vs {ds.shape[1:]}"
-                )
             ds[n] = row
         self.h5.flush()
 

@@ -53,6 +53,18 @@ def _host_value(x) -> np.ndarray:
     return gather_global(x)
 
 
+def _atomic_savez(path: str, blobs: dict) -> None:
+    """Write-to-temp + atomic rename: the trainer overwrites ONE checkpoint
+    path every interval, and a kill mid-np.savez (the exact failure this
+    module exists to survive) must not destroy the previous good file."""
+    import os
+
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **blobs)
+    # np.savez appends .npz when the name lacks it
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
 def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> None:
     multiprocess = jax.process_count() > 1
     blobs = {
@@ -74,11 +86,11 @@ def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> 
     blobs["epoch"] = np.asarray(epoch)
     blobs["rng_key"] = np.asarray(jax.random.key_data(key))
     if not multiprocess:
-        np.savez_compressed(path, **blobs)
+        _atomic_savez(path, blobs)
         return
     # process 0 writes; everyone barriers so no process reads early
     if jax.process_index() == 0:
-        np.savez_compressed(path, **blobs)
+        _atomic_savez(path, blobs)
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(f"evo_tpu_checkpoint:{path}")

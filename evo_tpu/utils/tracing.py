@@ -76,7 +76,22 @@ def close(archive: Optional[str] = "traces.tgz"):
     _tracefile.close()
     _tracefile = None
     if archive and _path and os.path.exists(_path):
-        with tarfile.open(archive, "a" if os.path.exists(archive) else "w") as tar:
+        # the archive is named .tgz, so it must actually be gzip-compressed;
+        # tarfile cannot append to a compressed archive, so when several
+        # processes add their rank files sequentially, merge by rewriting
+        # (trace files are small). "r:*" also reads archives written by the
+        # old uncompressed format.
+        import io
+
+        members = []
+        if os.path.exists(archive):
+            with tarfile.open(archive, "r:*") as old:
+                for m in old.getmembers():
+                    data = old.extractfile(m).read() if m.isfile() else None
+                    members.append((m, data))
+        with tarfile.open(archive, "w:gz") as tar:
+            for m, data in members:
+                tar.addfile(m, io.BytesIO(data) if data is not None else None)
             tar.add(_path)
         os.remove(_path)
 

@@ -211,3 +211,28 @@ def test_device_trace_every_flag(tmp_path):
     trace_dir = os.path.join(out["outdir"], "device_trace")
     assert os.path.isdir(trace_dir)
     assert any(os.scandir(trace_dir))  # something was written
+
+
+def test_trainer_resume_at_final_epoch_returns_stats(tmp_path):
+    """Regression: resuming a checkpoint written at the final epoch made
+    EMTrainer.run return stats=None (zero loop iterations), crashing every
+    app driver on float(stats.F)."""
+    from evo_tpu.apps import bars
+
+    common = dict(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
+                  no_data_points=100, pi_gen=None, sigma_gen=1.0)
+    out1 = bars.run(_ns(**common, **_common(
+        no_epochs=4, checkpoint_every=4,
+        output_directory=str(tmp_path / "a"))))
+    ckpt = os.path.join(out1["outdir"], "checkpoint.npz")
+    assert os.path.exists(ckpt)
+    out2 = bars.run(_ns(**common, **_common(
+        no_epochs=4, resume=ckpt,
+        output_directory=str(tmp_path / "b"))))
+    # the synthesized F recomputes the truncated free energy from the
+    # checkpointed lpj under the FINAL params (the during-training log line
+    # used the pre-M-step params, the reference's free_energy(full=False)
+    # semantics), so allow a small offset — the contract is: no crash,
+    # finite, and consistent with the run it resumed
+    assert np.isfinite(out2["F"])
+    assert abs(out2["F"] - out1["F"]) < 1.5, (out2["F"], out1["F"])

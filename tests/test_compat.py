@@ -120,3 +120,25 @@ def test_incomplete_without_reconstruction_raises():
         params = model.standard_init(data, seed=0)
         with pytest.raises(ValueError, match="do_reconstruction"):
             model.em_step(params, estate, data, _jax.random.key(0), cfg)
+
+
+def test_compat_n_blocks_threads_into_data():
+    """Regression: compat.init_states accepted n_blocks but _get_data always
+    built single-block Data, so any n_blocks > 1 estate could never match
+    the data's block structure (shape mismatch at trace time)."""
+    from evo_tpu import compat
+
+    rng = np.random.default_rng(0)
+    N, D, H, S = 64, 9, 6, 10
+    Y = rng.normal(size=(N, D))
+    model = compat.BSC(D, H, S)
+    ss = compat.init_states(N, S, H, "fit", "randflip", 5, 1, 1, n_blocks=4)
+    theta = model.check_params(model.standard_init({"y": Y}))
+    F0 = None
+    for _ in range(3):
+        F, n_uni, n_sub, theta = model.step(theta, ss, {"y": Y})
+        F0 = F if F0 is None else F0
+    assert np.isfinite(F) and F >= F0
+    # truncated free energy reuses the blocked estate
+    Ftrunc = model.free_energy({"y": Y}, theta, ss, full=False)
+    assert np.isfinite(Ftrunc)

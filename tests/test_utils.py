@@ -217,6 +217,47 @@ def test_tracing_roundtrip(tmp_path, monkeypatch):
     assert "work:begin" in content and "inside" in content and "work:end" in content
 
 
+def test_tracing_archive_is_gzip_and_merges(tmp_path, monkeypatch):
+    """The archive is NAMED .tgz so it must be gzip (regression: modes
+    'w'/'a' wrote a plain tar), and sequential closes from several rank
+    files must merge rather than clobber."""
+    import gzip
+    import tarfile
+
+    monkeypatch.chdir(tmp_path)
+    for rank in range(2):
+        tracing.set_tracefile(f"trace-{rank:04d}.txt")
+        tracing.tracepoint(f"rank{rank}")
+        tracing.close("traces.tgz")
+    with open("traces.tgz", "rb") as f:
+        assert f.read(2) == b"\x1f\x8b", "traces.tgz is not gzip-compressed"
+    with tarfile.open("traces.tgz", "r:gz") as tar:
+        names = sorted(tar.getnames())
+        blobs = [tar.extractfile(n).read().decode() for n in names]
+    assert len(names) == 2
+    assert "rank0" in blobs[0] and "rank1" in blobs[1]
+
+
+def test_autotable_failed_append_leaves_no_phantom_row(tmp_path):
+    """Regression: append used to resize the dataset before validating the
+    row, so a shape mismatch left a permanent all-zero row shifting every
+    later epoch's alignment."""
+    from evo_tpu.utils.autotable import AutoTable
+
+    path = str(tmp_path / "t.h5")
+    tab = AutoTable(path)
+    tab.append("W", np.ones((3, 2)))
+    with pytest.raises(ValueError):
+        tab.append("W", np.ones((4, 2)))
+    tab.append("W", 2 * np.ones((3, 2)))
+    tab.close()
+    import h5py
+
+    with h5py.File(path) as f:
+        assert f["W"].shape[0] == 2
+        assert np.allclose(f["W"][1], 2.0)
+
+
 # ------------------------------------------------------------- checkpoint
 
 
