@@ -51,11 +51,9 @@ def load_baseline():
 
 
 def main():
-    import threading
-
     import jax
-    import jax.numpy as jnp
 
+    from evo_tpu.apps.common import warm_d2h_async
     from evo_tpu.models.bsc import BSC
     from evo_tpu.models.base import make_data
     from evo_tpu.variational.state_init import init_states
@@ -68,14 +66,9 @@ def main():
 
     # The first device->host readback in a process can stall for minutes when
     # the TPU is reached through a tunnel; warm that channel in the
-    # background while the host builds the dataset.
-    def _warm():
-        t = time.time()
-        float(jnp.zeros(())[()])
-        print(f"d2h channel warm: {time.time()-t:.1f}s", file=sys.stderr)
-
-    warm = threading.Thread(target=_warm, daemon=True)
-    warm.start()
+    # background while the host builds the dataset (verbose: the printed
+    # line doubles as the supervisor's liveness heartbeat).
+    warm = warm_d2h_async(verbose=True)
 
     t0 = time.time()
     model = BSC(D=D, H=H)
@@ -145,6 +138,19 @@ def main():
           file=sys.stderr)
     lpj_evals = N * (S + N_PARENTS * N_CHILDREN * N_GENERATIONS)
     baseline_s = load_baseline()
+    # print the primary metric BEFORE the optional secondary block: if the
+    # secondary run hangs on a wedged tunnel, the completed primary
+    # measurement must not be thrown away with it
+    result = {
+        "metric": "bsc_em_epoch_time_N102k_H256_S64",
+        "value": epoch_s,
+        "unit": "s",
+        "vs_baseline": baseline_s / epoch_s,
+        "lpj_evals_per_s": lpj_evals / epoch_s,
+        "baseline_s": baseline_s,
+        "device": str(dev),
+    }
+    print(json.dumps(result), flush=True)
     # secondary metric (stderr only; driver consumes the single stdout line):
     # SSSC epoch at denoising scale
     try:
@@ -175,17 +181,6 @@ def main():
     except Exception as e:  # never break the primary metric
         print(f"secondary sssc metric failed: {e}", file=sys.stderr)
 
-    result = {
-        "metric": "bsc_em_epoch_time_N102k_H256_S64",
-        "value": epoch_s,
-        "unit": "s",
-        "vs_baseline": baseline_s / epoch_s,
-        "lpj_evals_per_s": lpj_evals / epoch_s,
-        "baseline_s": baseline_s,
-        "device": str(dev),
-    }
-    print(json.dumps(result))
-
 
 def _supervise() -> int:
     """Run main() in a child process with a wedged-tunnel watchdog.
@@ -206,10 +201,13 @@ def _supervise() -> int:
     STALL_S = 300.0  # > first-readback stall (80-180 s) + compile margin
     COOL_S = 390.0
     last = [time.time()]
+    got_result = [False]  # a stdout line == the primary-metric JSON landed
 
-    def _pump(src, dst):
+    def _pump(src, dst, is_stdout=False):
         for line in iter(src.readline, b""):
             last[0] = time.time()
+            if is_stdout and line.strip():
+                got_result[0] = True
             dst.write(line.decode(errors="replace"))
             dst.flush()
         src.close()
@@ -235,7 +233,7 @@ def _supervise() -> int:
         last[0] = time.time()
         threads = [
             threading.Thread(target=_pump, args=(child.stdout, sys.stdout),
-                             daemon=True),
+                             kwargs={"is_stdout": True}, daemon=True),
             threading.Thread(target=_pump, args=(child.stderr, sys.stderr),
                              daemon=True),
         ]
@@ -257,11 +255,21 @@ def _supervise() -> int:
         rc = child.returncode
         if rc == 0 and not stalled:
             return 0
+        if got_result[0]:
+            # the primary-metric JSON already went to stdout; a retry would
+            # print a SECOND JSON line and corrupt the driver's parse.  A
+            # post-result wedge (e.g. the secondary metric hanging in
+            # teardown) still counts as a successful measurement.
+            print("bench supervisor: child failed AFTER emitting the result "
+                  "JSON — keeping it, not retrying", file=sys.stderr)
+            return 0
     return rc
 
 
 if __name__ == "__main__":
-    if os.environ.get("EVO_BENCH_NO_SUPERVISE"):
+    # explicit opt-out only: "0"/"false"/"" keep the supervisor ON
+    if os.environ.get("EVO_BENCH_NO_SUPERVISE", "").lower() in (
+            "1", "true", "yes"):
         main()
     else:
         sys.exit(_supervise())

@@ -115,6 +115,39 @@ def experiment_parser(no_epochs=40):
     return p
 
 
+def patch_parser():
+    """Shared by the image-denoising / image-inpainting examples (reference
+    image-denoising/params.py patch group; identical in both)."""
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--patch_height", type=int, default=5, help="Patch height")
+    p.add_argument("--patch_width", type=int, default=None,
+                   help="Patch width (defaults to patch_height)")
+    p.add_argument("--no_dc_center", dest="dc_center", action="store_false",
+                   default=True,
+                   help="Disable per-patch DC centering (reference-style raw "
+                        "patches; requires f64-grade numerics for es3c)")
+    return p
+
+
+def image_experiment_parser():
+    """Shared by the image-denoising / image-inpainting examples (reference
+    image-denoising/params.py experiment group; identical in both)."""
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("-H", type=int, default=32, help="Dictionary size")
+    p.add_argument("--no_epochs", type=int, default=50)
+    p.add_argument("--merge_every", type=int, default=None,
+                   help="Merge reconstructed patches every Xth epoch "
+                        "(defaults to viz_every)")
+    p.add_argument("--save_theta_all_epochs", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_blocks", type=int, default=1)
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--tracefile", type=str, default=None)
+    p.add_argument("--device_trace_every", type=int, default=0)
+    return p
+
+
 def viz_parser():
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--viz_every", type=int, default=1,
@@ -160,15 +193,23 @@ def params_to_dict(params) -> dict:
             for f in dataclasses.fields(params)}
 
 
-def warm_d2h_async():
+def warm_d2h_async(verbose: bool = False):
     """Start warming the device->host channel in the background (the first
-    readback through a tunneled TPU can stall for minutes)."""
+    readback through a tunneled TPU can stall for minutes).  With verbose,
+    prints the warm time to stderr when done — benchmark supervisors use
+    that line as a liveness heartbeat."""
     import threading
 
     def _warm():
+        import time as _time
+
         import jax.numpy as jnp
 
+        t0 = _time.time()
         float(jnp.zeros(())[()])
+        if verbose:
+            print(f"d2h channel warm: {_time.time() - t0:.1f}s",
+                  file=sys.stderr)
 
     t = threading.Thread(target=_warm, daemon=True)
     t.start()

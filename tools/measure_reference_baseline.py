@@ -15,6 +15,7 @@ N_MEASURE datapoints and extrapolate.  Run:
 """
 
 import json
+import os
 import sys
 import time
 import types
@@ -115,7 +116,13 @@ def main(N_measure=500, H=256, S=64, D=256, epochs=1, N_target=100_000):
                   "ideal linear scaling (1-core container, see comment)",
     }
     print(json.dumps(result, indent=2))
-    with open("BASELINE_MEASURED.json", "w") as f:
+    # write next to the repo root regardless of CWD: bench.py loads the file
+    # from ITS own directory, so a CWD-relative write would silently have
+    # no effect on vs_baseline
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_MEASURED.json")
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
 

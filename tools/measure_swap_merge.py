@@ -4,15 +4,19 @@ block variant — ONE process, ONE host->device transfer of the big state
 array (1.7 GB estate.ss would otherwise crawl through the axon tunnel per
 variant), pipelined timing, value-readback barriers (CLAUDE.md).
 
-Usage (from the repo root): python - < tools/measure_swap_merge.py
+Usage (from the repo root): python tools/measure_swap_merge.py
+(the stdin form `python - < tools/measure_swap_merge.py` also works)
 """
 
 import dataclasses
+import os
 import sys
-import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))
+                                   ) if "__file__" in globals() else ".")
 
 
 def main():
@@ -26,13 +30,10 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    def _warm():  # first d2h readback stalls 80-180 s; absorb it up front
-        t = time.time()
-        float(jnp.zeros(())[()])
-        print(f"d2h warm: {time.time()-t:.1f}s", file=sys.stderr)
+    from evo_tpu.apps.common import warm_d2h_async
 
-    warm = threading.Thread(target=_warm, daemon=True)
-    warm.start()
+    # first d2h readback stalls 80-180 s; absorb it up front
+    warm = warm_d2h_async(verbose=True)
 
     H = D = 256
     S = 64

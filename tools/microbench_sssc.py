@@ -6,7 +6,6 @@ Run:  python tools/microbench_sssc.py          (uses the TPU)
 
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,19 +27,21 @@ def _sync(out):
 
 
 def timeit(fn, *args, n=5, name=""):
-    """CAVEAT: repeated calls with IDENTICAL inputs have been observed to
+    """Pipelined timing: enqueue n calls, end the window on ONE value
+    readback (CLAUDE.md: blocking per call pays the ~35 ms tunnel dispatch
+    round-trip, which dominates ms-scale kernels and misranks variants).
+
+    CAVEAT: repeated calls with IDENTICAL inputs have been observed to
     be served from a result cache on this machine (apparent throughput far
     beyond hardware peak).  Cross-check any surprising number against a
     device trace (tools/profile_epoch.py) before believing it."""
     out = fn(*args)
-    _sync(out)
-    ts = []
+    _sync(out)  # compile + warmup outside the window
+    t0 = time.time()
     for _ in range(n):
-        t0 = time.time()
         out = fn(*args)
-        _sync(out)
-        ts.append(time.time() - t0)
-    med = float(np.median(ts))
+    _sync(out)  # value readback: nothing can materialize early
+    med = (time.time() - t0) / n
     print(f"{name:45s} {med*1000:9.2f} ms", file=sys.stderr)
     return out, med
 
@@ -130,20 +131,17 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    def _warm():
-        t = time.time()
-        float(jnp.zeros(())[()])
-        print(f"d2h warm: {time.time()-t:.1f}s", file=sys.stderr)
+    from evo_tpu.apps.common import warm_d2h_async
 
-    th = threading.Thread(target=_warm, daemon=True)
-    th.start()
+    # first d2h readback stalls 80-180 s; absorb it up front
+    warm = warm_d2h_async(verbose=True)
 
     rng = np.random.default_rng(0)
     R = rng.standard_normal((BATCH, H, H)).astype(np.float32)
     A_host = R @ np.transpose(R, (0, 2, 1)) + H * np.eye(H, dtype=np.float32)
     A = jnp.asarray(A_host)
     jax.block_until_ready(A)
-    th.join()
+    warm.join()
 
     flops_per = 2 * H**3  # rough: inverse+logdet ~ 2 H^3
     total_flops = flops_per * BATCH
