@@ -127,11 +127,18 @@ def test_feature_learning_app(tmp_path):
     assert np.isfinite(out["F"])
 
 
+def _bars_args(**over):
+    """Canonical bars-app arg set shared by the checkpoint/resume tests."""
+    base = dict(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
+                no_data_points=100, pi_gen=None, sigma_gen=1.0)
+    base.update(over)
+    return base
+
+
 def test_bars_app_checkpoint_resume(tmp_path):
     from evo_tpu.apps import bars
 
-    common = dict(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
-                  no_data_points=100, pi_gen=None, sigma_gen=1.0)
+    common = _bars_args()
     out1 = bars.run(_ns(**common, **_common(
         no_epochs=4, checkpoint_every=2,
         output_directory=str(tmp_path / "a"))))
@@ -219,8 +226,7 @@ def test_trainer_resume_at_final_epoch_returns_stats(tmp_path):
     app driver on float(stats.F)."""
     from evo_tpu.apps import bars
 
-    common = dict(algo="ebsc", H=6, bar_amp=8.0, neg_bars=False,
-                  no_data_points=100, pi_gen=None, sigma_gen=1.0)
+    common = _bars_args()
     out1 = bars.run(_ns(**common, **_common(
         no_epochs=4, checkpoint_every=4,
         output_directory=str(tmp_path / "a"))))

@@ -134,11 +134,13 @@ def test_compat_n_blocks_threads_into_data():
     model = compat.BSC(D, H, S)
     ss = compat.init_states(N, S, H, "fit", "randflip", 5, 1, 1, n_blocks=4)
     theta = model.check_params(model.standard_init({"y": Y}))
-    F0 = None
+    Fprev = None
     for _ in range(3):
         F, n_uni, n_sub, theta = model.step(theta, ss, {"y": Y})
-        F0 = F if F0 is None else F0
-    assert np.isfinite(F) and F >= F0
+        assert np.isfinite(F)
+        if Fprev is not None:  # monotone up to f32 reduction noise
+            assert F >= Fprev - 1e-2 * abs(Fprev), (F, Fprev)
+        Fprev = F
     # truncated free energy reuses the blocked estate
     Ftrunc = model.free_energy({"y": Y}, theta, ss, full=False)
     assert np.isfinite(Ftrunc)

@@ -12,7 +12,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from evo_tpu import BSC, init_states
 from evo_tpu.models import make_data
-from evo_tpu.parallel import make_mesh, shard_blocked
+from evo_tpu.parallel import make_mesh, replicate, shard_blocked
 
 
 def _setup(N=64, H=6, S=8, n_blocks=2):
@@ -36,9 +36,7 @@ def test_sharded_matches_unsharded():
     mesh = make_mesh(8)
     data_s = shard_blocked(data, mesh)
     estate_s = shard_blocked(estate, mesh)
-    params_s = jax.tree.map(
-        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())), params
-    )
+    params_s = replicate(params, mesh)
     p2, e2, s2, _ = model.em_step(params_s, estate_s, data_s, key, cfg)
 
     np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-5)
@@ -68,9 +66,7 @@ def test_partitioning_divides_per_device_flops():
     mesh = make_mesh(8)
     data_s = shard_blocked(data, mesh)
     estate_s = shard_blocked(estate, mesh)
-    params_s = jax.tree.map(
-        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())), params
-    )
+    params_s = replicate(params, mesh)
     compiled8 = jax.jit(step).lower(params_s, estate_s, data_s, key).compile()
     flops8 = compiled8.cost_analysis()["flops"]
 
@@ -176,9 +172,7 @@ def test_sssc_sharded_matches_unsharded():
 
     mesh = make_mesh(8)
     data_s, estate_s = _shard_all(mesh, data, estate)
-    params_s = jax.tree.map(
-        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())), params
-    )
+    params_s = replicate(params, mesh)
     p2, e2, s2, _ = model.em_step(params_s, estate_s, data_s, key, cfg)
 
     np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-5)
@@ -211,10 +205,7 @@ def test_incomplete_reconstruction_sharded_matches_unsharded():
         p1, e1, s1, yrec1 = model.em_step(params, estate, data, key, cfg,
                                           do_reconstruction=True)
         data_s, estate_s = _shard_all(mesh, data, estate)
-        params_s = jax.tree.map(
-            lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())),
-            params,
-        )
+        params_s = replicate(params, mesh)
         p2, e2, s2, yrec2 = model.em_step(params_s, estate_s, data_s, key, cfg,
                                           do_reconstruction=True)
         np.testing.assert_allclose(float(s1.F), float(s2.F), rtol=1e-5)
@@ -229,9 +220,7 @@ def test_multi_epoch_sharded_training():
     model, cfg, params, estate, data = _setup(N=64, H=6, S=8, n_blocks=2)
     mesh = make_mesh(8)
     data_s, estate_s = _shard_all(mesh, data, estate)
-    params_s = jax.tree.map(
-        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())), params
-    )
+    params_s = replicate(params, mesh)
     for e in range(4):
         key = jax.random.fold_in(jax.random.key(17), e)
         params, estate, s1, _ = model.em_step(params, estate, data, key, cfg)
