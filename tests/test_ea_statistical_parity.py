@@ -149,3 +149,107 @@ def test_ea_mode_final_free_energy_paired(bars_problem, operator, selection,
     # in the vicinity of L_gen)
     assert float(np.mean(F_ref)) > L_gen - 25.0, (F_ref, L_gen)
     assert float(np.mean(F_evo)) > L_gen - 25.0, (F_evo, L_gen)
+
+
+# --------------------------------------------------------------- SSSC EA mode
+
+H_S, N_S, S_S = 8, 200, 12
+
+
+@pytest.fixture(scope="module")
+def sssc_bars_problem():
+    """SSSC bars data + shared Theta^0 (EA-mode parity previously existed
+    only for BSC; SSSC EA evidence was exact-mode + real-asset head-to-heads
+    — this adds the paired seeds-ensemble design for the fused SSSC EM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.models.sssc import SSSC, SSSCParams
+    from evo_tpu.utils.bars import generate_bars_dict
+
+    D = (H_S // 2) ** 2
+    W_gen = 8.0 * generate_bars_dict(H_S)
+    params_gen = SSSCParams(
+        W=jnp.asarray(W_gen, jnp.float32),
+        pies=jnp.full((H_S,), 2.0 / H_S),
+        mus=jnp.full((H_S,), 1.0),
+        Psi=jnp.asarray(0.25 * np.eye(H_S), jnp.float32),
+        sigma2=jnp.asarray(1.0),
+    )
+    model = SSSC(D=D, H=H_S)
+    Y = np.asarray(model.generate_data(jax.random.key(0), params_gen, N_S)["y"],
+                   np.float64)
+    ymean = Y.mean(0)
+    s20 = float(np.var(Y, axis=0, ddof=1).mean()) + 0.001
+    W0 = ymean[:, None] + np.random.default_rng(4).normal(
+        scale=np.sqrt(s20) / 4, size=(D, H_S))
+    return dict(D=D, Y=Y, W0=W0, s20=s20)
+
+
+def _run_reference_sssc(prob, epochs, seed):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from measure_reference_baseline import install_mpi_stub
+
+    install_mpi_stub()
+    sys.path.insert(0, REF)
+    from evo.models import SSSC as RefSSSC
+    from evo.variational.utils import init_states as ref_init_states
+
+    D, Y = prob["D"], prob["Y"]
+    np.random.seed(seed)
+    model = RefSSSC(D, H_S, S_S)
+    theta = {"W": prob["W0"].copy(), "pies": np.full(H_S, 1.0 / H_S),
+             "mus": np.zeros(H_S), "Psi": np.eye(H_S),
+             "sigma2": np.float64(prob["s20"])}
+    suff = ref_init_states(N_S, S_S, H_S, "fit", "randflip", 6, 1, 1)
+    data = {"y": Y.copy(), "x_infr": np.ones((N_S, D), bool)}
+    F = None
+    for _ in range(epochs):
+        F, _, _, theta = model.step(theta, suff, data)
+    return float(F)
+
+
+def _run_evo_sssc(prob, epochs, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.models.sssc import SSSC, SSSCParams
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states
+
+    D, Y = prob["D"], prob["Y"]
+    model = SSSC(D=D, H=H_S)
+    params = SSSCParams(W=jnp.asarray(prob["W0"], jnp.float32),
+                        pies=jnp.full((H_S,), 1.0 / H_S),
+                        mus=jnp.zeros((H_S,)),
+                        Psi=jnp.asarray(np.eye(H_S), jnp.float32),
+                        sigma2=jnp.asarray(prob["s20"], jnp.float32))
+    data = make_data(Y)
+    cfg, estate = init_states(N=N_S, S=S_S, H=H_S, no_parents=6,
+                              no_children=1, no_generations=1, seed=seed)
+    F = None
+    for e in range(epochs):
+        params, estate, stats, _ = model.em_step(
+            params, estate, data, jax.random.fold_in(jax.random.key(seed), e),
+            cfg)
+        F = float(stats.F)
+    return F
+
+
+def test_sssc_ea_mode_final_free_energy_paired(sssc_bars_problem):
+    """Same paired seeds-ensemble design as the BSC test above, for the
+    fused SSSC EM step (reference sssc.py:420-811): per-seed differences on
+    shared data + shared Theta^0 must show evo_tpu is not systematically
+    worse than the reference."""
+    epochs = 15
+    F_ref = [_run_reference_sssc(sssc_bars_problem, epochs, s) for s in SEEDS]
+    F_evo = [_run_evo_sssc(sssc_bars_problem, epochs, s) for s in SEEDS]
+
+    assert np.isfinite(F_ref).all() and np.isfinite(F_evo).all()
+    d = np.asarray(F_evo) - np.asarray(F_ref)
+    mean_d = float(d.mean())
+    sem_d = float(d.std(ddof=1) / np.sqrt(len(d)))
+    assert mean_d > -(0.35 + 2.0 * sem_d), (mean_d, sem_d, F_evo, F_ref)
+    # both sides must have actually learned (init F is far below)
+    assert float(np.mean(F_ref)) > -60.0, F_ref
+    assert float(np.mean(F_evo)) > -60.0, F_evo
