@@ -242,3 +242,18 @@ def test_trainer_resume_at_final_epoch_returns_stats(tmp_path):
     # finite, and consistent with the run it resumed
     assert np.isfinite(out2["F"])
     assert abs(out2["F"] - out1["F"]) < 1.5, (out2["F"], out1["F"])
+
+
+def test_feature_learning_app_sssc(tmp_path):
+    """The feature-learning driver's SSSC branch (reference
+    feature-learning/main.py supports both models via --model)."""
+    from evo_tpu.apps import feature_learning
+
+    args = _ns(data_file=str(tmp_path / "patches.npz"), model="sssc", H=10,
+               sort_gfs=False,
+               **_common(no_epochs=3, Ksize=8, no_parents=4,
+                         output_directory=str(tmp_path / "out")))
+    feature_learning.synthetic_patchfile(str(tmp_path / "patches.npz"),
+                                         N=200, ph=5, pw=5)
+    out = feature_learning.run(args)
+    assert np.isfinite(out["F"])
