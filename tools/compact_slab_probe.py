@@ -61,7 +61,9 @@ def _build_P(sT, Lstrict, K_cap):
         Lstrict, sT, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)  # [Hp, T]
-    c_iota = jax.lax.broadcasted_iota(jnp.float32, (K_cap, 1, 1), 0)
+    # Mosaic requires integer iota (f32 iota fails op verification)
+    c_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (K_cap, 1, 1), 0).astype(jnp.float32)
     P = jnp.where(rankx[None, :, :] == c_iota, 1.0, 0.0) * sT[None, :, :]
     rowvalid = jnp.sum(P, axis=1)  # [K_cap, T]
     return P, rowvalid
@@ -69,10 +71,14 @@ def _build_P(sT, Lstrict, K_cap):
 
 def _compact_mat(P, A):
     """P A P^T for lane-major A [Hp, Hp, T] (or shared [Hp, Hp]) ->
-    [K_cap, K_cap, T].  Unrolled broadcast-reduce like ops/linalg's _mml."""
+    [K_cap, K_cap, T].  Unrolled broadcast-reduce like ops/linalg's _mml.
+
+    Mosaic lowers middle-axis INTEGER indexing of 3D values to an
+    unsupported gather (measured on-device: "Only 2D gather is
+    supported"); every per-index access here is a [:, j:j+1, :] SLICE
+    (+ swapaxes), which lowers fine."""
     K_cap, Hp, _ = P.shape
     shared = A.ndim == 2
-    rows = []
     # PA[c, j, t] = sum_i P[c, i, t] A[i, j, t]
     PA = None
     for i in range(Hp):
@@ -82,27 +88,19 @@ def _compact_mat(P, A):
     # (PA) P^T [c, d, t] = sum_j PA[c, j, t] P[d, j, t]
     out = None
     for j in range(Hp):
-        term = PA[:, j, :][:, None, :] * P[None, :, j, :]
+        term = PA[:, j:j + 1, :] * jnp.swapaxes(P[:, j:j + 1, :], 0, 1)
         out = term if out is None else out + term
     return out
 
 
 def _scatter_vec(P, xc):
     """P^T xc: [K_cap, Hp, T], [K_cap, T] -> [Hp, T]."""
-    out = None
-    for c in range(P.shape[0]):
-        term = P[c] * xc[c][None, :]
-        out = term if out is None else out + term
-    return out
+    return jnp.sum(P * xc[:, None, :], axis=0)
 
 
 def _gather_vec(P, x):
     """P x: [K_cap, Hp, T], [Hp, T] -> [K_cap, T]."""
-    out = None
-    for i in range(P.shape[1]):
-        term = P[:, i, :] * x[i][None, :]
-        out = term if out is None else out + term
-    return out
+    return jnp.sum(P * x[None, :, :], axis=1)
 
 
 def _scatter_mat(P, Mc):
@@ -111,7 +109,7 @@ def _scatter_mat(P, Mc):
     # McP[c, j, t] = sum_d Mc[c, d, t] P[d, j, t]
     McP = None
     for d in range(K_cap):
-        term = Mc[:, d, :][:, None, :] * P[d][None, :, :]
+        term = Mc[:, d:d + 1, :] * P[d][None, :, :]
         McP = term if McP is None else McP + term
     out = None
     for c in range(K_cap):
@@ -490,6 +488,7 @@ def measure():
 
 
 if __name__ == "__main__":
-    verify()
-    if not os.environ.get("EVO_PROBE_VERIFY_ONLY"):
+    if os.environ.get("EVO_PROBE_VERIFY_ONLY"):
+        verify()  # monkeypatches TB/TB_SS — never before measure()
+    else:
         measure()
