@@ -79,7 +79,11 @@ class SSSC:
     H: int
     to_learn: Tuple[str, ...] = ("W", "pies", "mus", "sigma2", "Psi")
     # "auto": use the fused Pallas slab-solve kernels when profitable
-    # (TPU, f32, complete data, tileable shapes); "xla" | "pallas"
+    # (TPU, f32, complete data, tileable shapes); "xla" | "pallas".
+    # The kernels compact each state's active units into a K_cap block
+    # (the reference's |s|^3 insight, sssc.py:268-318) with an exact
+    # full-H fallback per tile; "pallas_full" forces the kernels WITHOUT
+    # compaction (A/B measurement, debugging).
     lpj_kernel: str = "auto"
 
     # ------------------------------------------------------------------ init
@@ -345,18 +349,21 @@ class SSSC:
         # LU kernel; sufficient statistics re-solved for the merged K^(n)
         # by the suffstat kernel (no kappa/lambda stash through HBM)
         use_kernel = (
-            self.lpj_kernel in ("auto", "pallas")
+            self.lpj_kernel in ("auto", "pallas", "pallas_full")
             and not data.incomplete
             and dt == jnp.float32
             and not cfg.packed_states
             and pallas_sssc_applicable(B, cfg.S, self.H)
         )
-        if self.lpj_kernel == "pallas" and not use_kernel:
+        # None = the kernels' auto compaction policy; False forces the
+        # full-Hp solve path (lpj_kernel="pallas_full")
+        kernel_compact = False if self.lpj_kernel == "pallas_full" else None
+        if self.lpj_kernel in ("pallas", "pallas_full") and not use_kernel:
             # forcing the kernel must not silently fall back to XLA (the
             # BSC path raises in the same situation) — a user forcing it
             # to measure/debug would attribute XLA numbers to the kernel
             raise ValueError(
-                "lpj_kernel='pallas' is not applicable here "
+                f"lpj_kernel='{self.lpj_kernel}' is not applicable here "
                 f"(incomplete={data.incomplete}, dtype={dt}, "
                 f"packed_states={cfg.packed_states}, B={B}, H={self.H}; "
                 "the kernel needs complete f32 unpacked data, B % 1024 == 0 "
@@ -380,7 +387,7 @@ class SSSC:
                 if use_kernel:
                     lpj, badf = sssc_lpj_pallas(
                         states_b, Wty_b, y2_b, G_b, Psi, mus,
-                        pre["pil_bar"], s2inv)
+                        pre["pil_bar"], s2inv, compact=kernel_compact)
                     lpj, counts = reset_lpj(lpj, valid=valid_b)
                     return lpj, None, (
                         counts, jnp.sum(badf).astype(jnp.int32))
@@ -458,7 +465,8 @@ class SSSC:
                 # replaced by recompute — see ops/pallas_sssc.py)
                 (xpt_sz, xpt_s, xpt_ss_hh, xpt_szsz_hh,
                  s_sz_hh, sz_sz_hh) = sssc_suffstat_pallas(
-                    ss2, rs, Wty_b, G_b, Psi, mus, s2inv)
+                    ss2, rs, Wty_b, G_b, Psi, mus, s2inv,
+                    compact=kernel_compact)
             else:
                 sf = ss2.astype(dt)
                 # ---- expectations from the candidate-evaluation solves:

@@ -92,6 +92,89 @@ def test_suffstat_kernel_matches_einsum_expectations():
                                    atol=2e-5, err_msg=name)
 
 
+def _sparse_states(rng, B, K, H, max_active):
+    """States with |s| <= max_active (plus some all-zero rows)."""
+    ss = np.zeros((B, K, H), np.int8)
+    n_act = rng.integers(0, max_active + 1, size=(B, K))
+    for b in range(B):
+        for k in range(K):
+            idx = rng.choice(H, size=n_act[b, k], replace=False)
+            ss[b, k, idx] = 1
+    ss[0, 0] = 0  # guarantee an all-zero state exercises the rank-0 path
+    return ss
+
+
+def test_lpj_compact_matches_full_and_oracle():
+    """Active-set compaction (K_cap=8 at H=32) must be bit-comparable to
+    the full-Hp path on sparse tiles AND route denser tiles through the
+    exact fallback.  Slot 0 is all-sparse (compact branch), slot 1
+    contains one |s|=20 state (whole tile falls back)."""
+    H, K, B = 32, 2, TB
+    rng = np.random.default_rng(3)
+    p = _problem(B, K, H, D=9, seed=3)
+    ss = _sparse_states(rng, B, K, H, max_active=8)
+    ss[5, 1, :20] = 1  # poison slot 1's tile: |s| = 20 > K_cap
+    p["ss"] = ss
+    args = (jnp.asarray(ss), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+            jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+            jnp.asarray(p["pil"]), p["s2inv"])
+    lpj_full, bad_full = sssc_lpj_pallas(*args, interpret=True,
+                                         compact=False)
+    lpj_cmp, bad_cmp = sssc_lpj_pallas(*args, interpret=True, compact=True)
+    assert float(bad_full.sum()) == 0
+    np.testing.assert_array_equal(np.asarray(bad_cmp), np.asarray(bad_full))
+    np.testing.assert_allclose(np.asarray(lpj_cmp), np.asarray(lpj_full),
+                               rtol=3e-5, atol=1e-4)
+    lpj_o = _oracle(p)[0]
+    np.testing.assert_allclose(np.asarray(lpj_cmp), np.asarray(lpj_o),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_suffstat_compact_matches_full():
+    """Same equivalence for the suffstat kernel, with one tile of the
+    merged set dense enough to take the fallback."""
+    H, S, B = 32, 3, TB_SS
+    rng = np.random.default_rng(4)
+    p = _problem(B, S, H, D=11, seed=4)
+    ss = _sparse_states(rng, B, S, H, max_active=8)
+    ss[7, 2, :15] = 1  # slot 2's tile falls back
+    rs = jnp.asarray(p["rs"])
+    sargs = (jnp.asarray(ss), rs, jnp.asarray(p["Wty"]),
+             jnp.asarray(p["G"]), jnp.asarray(p["Psi"]),
+             jnp.asarray(p["mus"]), p["s2inv"])
+    out_full = sssc_suffstat_pallas(*sargs, interpret=True, compact=False)
+    out_cmp = sssc_suffstat_pallas(*sargs, interpret=True, compact=True)
+    names = ["xpt_sz", "xpt_s", "xpt_ss", "xpt_szsz", "s_sz", "sz_sz"]
+    for name, a, b in zip(names, out_cmp, out_full):
+        ref = np.asarray(b)
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale, ref / scale,
+                                   atol=5e-5, err_msg=name)
+
+
+def test_lpj_compact_flags_bad_solves():
+    """The NaN sentinel for numerically-broken solves must survive the
+    compact branch (a singular 1x1 compacted block)."""
+    H, K, B = 32, 2, TB
+    rng = np.random.default_rng(5)
+    p = _problem(B, K, H, D=9, seed=5)
+    s2inv = float(p["s2inv"])
+    Psi_bad = p["Psi"].copy()
+    Psi_bad[0, 0] = -1.0 / (s2inv * float(p["G"][0, 0]))
+    ss = _sparse_states(rng, B, K, H, max_active=6)
+    ss[:, 0, :] = 0
+    ss[:, 0, 0] = 1  # slot 0 = the poisoned single-unit state, |s| = 1
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(ss), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["G"]), jnp.asarray(Psi_bad), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True, compact=True)
+    flagged = np.asarray(bad)[:, 0] > 0
+    lpjv = np.asarray(lpj_k)[:, 0]
+    assert flagged.any()
+    assert np.isnan(lpjv[flagged]).all()
+    assert not np.isinf(lpjv[flagged]).any()
+
+
 def test_lpj_kernel_flags_bad_solves():
     """A singular M' = I + s2inv Psi_s G_ss (possible when the learned Psi
     goes non-PD, which the reference's elementwise Psi update permits —

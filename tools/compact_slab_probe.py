@@ -1,398 +1,44 @@
-"""Measurement probe: active-set COMPACTION for the SSSC slab kernels.
+"""A/B measurement: active-set COMPACTION of the SSSC slab kernels.
 
-The production kernels (evo_tpu/ops/pallas_sssc.py) solve an identity-padded
-Hp x Hp system per candidate state even though |s| ~ 2-4 under sparse priors
-— the H^3-vs-|s|^3 gap the reference's memoization dict exploits
-(reference evo/models/sssc.py:268-318).  This probe measures the remaining
-algorithmic lever: compact each state's active units into the top-left
-K_cap x K_cap block via per-state one-hot projections P (built from an MXU
-prefix-sum of the state bits), run the LU / Schur recursions at K_cap, and
-scatter the results back.  Op-count estimate at Hp=32, K_cap=8: ~1.45x for
-the lpj kernel core, ~1.6x for the suffstat solve core — IF the kernels are
-op-count-bound (unknown; the wedged axon tunnel has blocked the device
-trace, see NEXT.md #6).
+The production kernels (evo_tpu/ops/pallas_sssc.py) compact each state's
+active units into a K_cap x K_cap top-left block (the reference's
+|s|^3-vs-H^3 memoization insight, reference evo/models/sssc.py:268-318,
+recast fixed-shape) with an exact full-Hp fallback per tile.  This tool
+times the production kernels with compaction forced ON vs OFF at the
+bench config, on sparse inputs (|s| <= K_cap, so every tile takes the
+compact branch — the realistic regime: real trainings at H=32 never
+exceed |s| ~ 6).
 
-This is a PROBE, not product code: no |s| > K_cap fallback (inputs are
-drawn with |s| <= K_cap; production integration would add an exact
-full-H fallback at tile granularity).  Exactness vs the production kernels
-is asserted in interpret mode; run on the TPU to measure:
+Measured on v5e (round 3, kernel-level A/B at N=4096/H=32, sparse):
+lpj 1.46x, suffstat 1.30x.  Run on a healthy axon tunnel:
 
-    python tools/compact_slab_probe.py            # verify (CPU) + time (TPU)
-    EVO_PROBE_VERIFY_ONLY=1 python tools/...      # interpret-mode check only
+    python tools/compact_slab_probe.py            # time on the TPU
+    EVO_PROBE_VERIFY_ONLY=1 python tools/...      # interpret-mode check
 
-Verdict ledger (fill in when the tunnel allows): see NEXT.md #6.
+(The interpret check duplicates tests/test_pallas_sssc.py's compact
+equivalence tests; it exists so one command validates before timing.)
 """
 
 import os
 import sys
 import time
-from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from evo_tpu.ops.pallas_sssc import (
-    TB,
-    TB_SS,
-    _lu_logdet_solve,
-    _next_pow2,
-    _pad_sub,
-    _pd_inv_logdet,
-    _prep_model,
-)
-
-K_CAP = 8
+from evo_tpu.ops import pallas_sssc as prod
 
 
-def _build_P(sT, Lstrict, K_cap):
-    """Per-state one-hot compaction projections.
-
-    sT: [Hp, T] f32 0/1; Lstrict: [Hp, Hp] strictly-lower-triangular ones.
-    Returns (P [K_cap, Hp, T] f32 with P[c, i, t] = 1 iff unit i is the
-    c-th active unit of state t, rowvalid [K_cap, T] = 1 iff state t has
-    more than c active units).  rank = Lstrict @ s is the EXCLUSIVE prefix
-    popcount — one MXU matmul, exact in f32 (values <= Hp)."""
-    rankx = jax.lax.dot_general(
-        Lstrict, sT, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [Hp, T]
-    # Mosaic requires integer iota (f32 iota fails op verification)
-    c_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (K_cap, 1, 1), 0).astype(jnp.float32)
-    P = jnp.where(rankx[None, :, :] == c_iota, 1.0, 0.0) * sT[None, :, :]
-    rowvalid = jnp.sum(P, axis=1)  # [K_cap, T]
-    return P, rowvalid
-
-
-def _compact_mat(P, A):
-    """P A P^T for lane-major A [Hp, Hp, T] (or shared [Hp, Hp]) ->
-    [K_cap, K_cap, T].  Unrolled broadcast-reduce like ops/linalg's _mml.
-
-    Mosaic lowers middle-axis INTEGER indexing of 3D values to an
-    unsupported gather (measured on-device: "Only 2D gather is
-    supported"); every per-index access here is a [:, j:j+1, :] SLICE
-    (+ swapaxes), which lowers fine."""
-    K_cap, Hp, _ = P.shape
-    shared = A.ndim == 2
-    # PA[c, j, t] = sum_i P[c, i, t] A[i, j, t]
-    PA = None
-    for i in range(Hp):
-        Ai = A[i][None, :, None] if shared else A[i][None, :, :]
-        term = P[:, i:i + 1, :] * Ai
-        PA = term if PA is None else PA + term
-    # (PA) P^T [c, d, t] = sum_j PA[c, j, t] P[d, j, t]
-    out = None
-    for j in range(Hp):
-        term = PA[:, j:j + 1, :] * jnp.swapaxes(P[:, j:j + 1, :], 0, 1)
-        out = term if out is None else out + term
-    return out
-
-
-def _scatter_vec(P, xc):
-    """P^T xc: [K_cap, Hp, T], [K_cap, T] -> [Hp, T]."""
-    return jnp.sum(P * xc[:, None, :], axis=0)
-
-
-def _gather_vec(P, x):
-    """P x: [K_cap, Hp, T], [Hp, T] -> [K_cap, T]."""
-    return jnp.sum(P * x[None, :, :], axis=1)
-
-
-def _scatter_mat(P, Mc):
-    """P^T Mc P: [K_cap, Hp, T], [K_cap, K_cap, T] -> [Hp, Hp, T]."""
-    K_cap, Hp, _ = P.shape
-    # McP[c, j, t] = sum_d Mc[c, d, t] P[d, j, t]
-    McP = None
-    for d in range(K_cap):
-        term = Mc[:, d:d + 1, :] * P[d][None, :, :]
-        McP = term if McP is None else McP + term
-    out = None
-    for c in range(K_cap):
-        term = P[c][:, None, :] * McP[c][None, :, :]
-        out = term if out is None else out + term
-    return out
-
-
-def _eye3(K, rowvalid):
-    i_ = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    j_ = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    eye = (i_ == j_).astype(jnp.float32)
-    return eye[:, :, None] * (1.0 - rowvalid)[:, None, :]
-
-
-# ----------------------------------------------------------- lpj (compact)
-
-
-def _make_lpj_kernel_compact(Hp: int, H: int, K_cap: int):
-    def _kernel(scal_ref, ss_ref, wty_ref, y2_ref, G_ref, Q_ref,
-                psi_ref, mus_ref, pil_ref, L_ref, lpj_ref, bad_ref, Ac_scr):
-        s2inv = scal_ref[0, 0]
-        T = ss_ref.shape[1]
-        sT = _pad_sub(ss_ref[:].astype(jnp.float32), Hp)
-        WtyT = _pad_sub(wty_ref[:], Hp)
-        mus = mus_ref[:][:, 0:1]
-
-        # A = I + s2inv * (s s^T) .* (Psi_s G_ss), exactly as production
-        T_mat = jax.lax.dot_general(
-            Q_ref[:], sT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).reshape(Hp, Hp, T)
-        ssT = sT[:, None, :] * sT[None, :, :]
-        A_off = s2inv * (ssT * T_mat)  # A minus its identity part
-
-        P, rowvalid = _build_P(sT, L_ref[:], K_cap)
-        # compact A: active block of (I + A_off); pad rows -> identity.
-        # P (I) P^T = diag(rowvalid), so add eye explicitly.
-        i_ = jax.lax.broadcasted_iota(jnp.int32, (K_cap, K_cap), 0)
-        j_ = jax.lax.broadcasted_iota(jnp.int32, (K_cap, K_cap), 1)
-        eyeK = (i_ == j_).astype(jnp.float32)
-        Ac_scr[:] = _compact_mat(P, A_off) + eyeK[:, :, None]
-
-        aT = sT * mus
-        GaT = jax.lax.dot_general(
-            G_ref[:], aT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        uT = sT * (WtyT - GaT)
-        Pu = sT * jax.lax.dot_general(
-            psi_ref[:], uT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        Pu_c = _gather_vec(P, Pu)
-
-        ldMP, x_c, bad = _lu_logdet_solve(Ac_scr, Pu_c, K_cap)
-        lam_u = _scatter_vec(P, x_c)
-
-        ynorm2 = (y2_ref[0] - 2.0 * jnp.sum(aT * WtyT, axis=0)
-                  + jnp.sum(aT * GaT, axis=0))
-        quad2 = jnp.sum(uT * lam_u, axis=0)
-        lpj = (-0.5 * (ldMP + s2inv * ynorm2 - s2inv * s2inv * quad2)
-               + jnp.sum(sT * pil_ref[:][:, 0:1], axis=0))
-        lpj = jnp.where(bad > 0, jnp.float32(jnp.nan), lpj)
-        lpj_ref[0, :] = lpj
-        bad_ref[0, :] = bad
-
-    return _kernel
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def sssc_lpj_compact(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
-                     interpret: bool = False):
-    """Compact-variant of ops.pallas_sssc.sssc_lpj_pallas (probe only;
-    requires every state's |s| <= K_CAP)."""
-    B, K, H = ss.shape
-    Hp = max(8, _next_pow2(H))
-    assert B % TB == 0, (B, TB)
-    J = B // TB
-    G_, Psi_, mus_, pil_ = _prep_model(G, Psi, mus, pil_bar, H, Hp)
-    Q = (Psi_[:, None, :] * jnp.transpose(G_)[None, :, :]).reshape(
-        Hp * Hp, Hp)
-    Lstrict = jnp.tril(jnp.ones((Hp, Hp), jnp.float32), k=-1)
-    sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
-                           else ss.astype(jnp.int8),
-                           (2, 1, 0)).reshape(H, K * B)
-    WtyT = jnp.transpose(Wty.astype(jnp.float32), (1, 0))
-    y2r = y2.astype(jnp.float32).reshape(1, B)
-    scal = jnp.asarray(s2inv, jnp.float32).reshape(1, 1)
-
-    lpj_kb, bad_kb = pl.pallas_call(
-        _make_lpj_kernel_compact(Hp, H, K_CAP),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, K * B), jnp.float32),
-            jax.ShapeDtypeStruct((1, K * B), jnp.float32),
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(J, K),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda j, k: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((H, TB), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((H, TB), lambda j, k: (0, j)),
-                pl.BlockSpec((1, TB), lambda j, k: (0, j)),
-                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp * Hp, Hp), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
-            ),
-            scratch_shapes=[pltpu.VMEM((K_CAP, K_CAP, TB), jnp.float32)],
-        ),
-        interpret=interpret,
-    )(scal, sT_all, WtyT, y2r, G_, Q, Psi_, mus_, pil_, Lstrict)
-    lpj = jnp.transpose(lpj_kb.reshape(K, B), (1, 0))
-    bad = jnp.transpose(bad_kb.reshape(K, B), (1, 0))
-    return lpj, bad
-
-
-# ------------------------------------------------------ suffstat (compact)
-
-
-def _make_suffstat_kernel_compact(Hp: int, H: int, S: int, K_cap: int):
-    def _kernel(scal_ref, ss_ref, rs_ref, wty_ref, G_ref, psi_ref,
-                mus_ref, L_ref, xpt_sz_ref, xpt_s_ref, xpt_ss_ref,
-                xpt_szsz_ref, s_sz_ref, sz_sz_ref):
-        s2inv = scal_ref[0, 0]
-        k = pl.program_id(1)
-        sT = _pad_sub(ss_ref[:].astype(jnp.float32), Hp)
-        WtyT = _pad_sub(wty_ref[:], Hp)
-        mus = mus_ref[:][:, 0:1]
-
-        P, rowvalid = _build_P(sT, L_ref[:], K_cap)
-        Psi_c = _compact_mat(P, psi_ref[:]) + _eye3(K_cap, rowvalid)
-        Pinv_c, _ldP = _pd_inv_logdet(Psi_c)
-        G_c = _compact_mat(P, G_ref[:])
-        M_c = s2inv * G_c + Pinv_c  # pad rows: identity from Pinv_c
-        lam_c, _ldM = _pd_inv_logdet(M_c)
-
-        aT = sT * mus
-        GaT = jax.lax.dot_general(
-            G_ref[:], aT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        uT = sT * (WtyT - GaT)
-        u_c = _gather_vec(P, uT)
-        lam_u_c = jnp.sum(lam_c * u_c[None, :, :], axis=1)  # [K_cap, T]
-        lam_u = _scatter_vec(P, lam_u_c)
-        kappaT = s2inv * lam_u + aT
-        lamm = _scatter_mat(P, lam_c)  # zero outside the active block
-
-        kappaT = jnp.where(jnp.isfinite(kappaT), kappaT, 0.0)
-        lamm = jnp.where(jnp.isfinite(lamm), lamm, 0.0)
-
-        rT = rs_ref[0:1, :]
-        w_kappa = kappaT * rT
-        w_s = sT * rT
-
-        @pl.when(k == 0)
-        def _():
-            xpt_sz_ref[:] = w_kappa[:H]
-            xpt_s_ref[:] = w_s[:H]
-
-        @pl.when(k != 0)
-        def _():
-            xpt_sz_ref[:] = xpt_sz_ref[:] + w_kappa[:H]
-            xpt_s_ref[:] = xpt_s_ref[:] + w_s[:H]
-
-        xpt_ss_c = jax.lax.dot_general(
-            w_s, sT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        xpt_szsz_c = (jnp.sum(lamm * rT[None], axis=2)
-                      + jax.lax.dot_general(
-                          w_kappa, kappaT, (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST))
-        first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
-
-        @pl.when(first)
-        def _():
-            xpt_ss_ref[:] = xpt_ss_c[:H, :H]
-            xpt_szsz_ref[:] = xpt_szsz_c[:H, :H]
-            s_sz_ref[:] = jnp.zeros_like(s_sz_ref)
-            sz_sz_ref[:] = jnp.zeros_like(sz_sz_ref)
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            xpt_ss_ref[:] = xpt_ss_ref[:] + xpt_ss_c[:H, :H]
-            xpt_szsz_ref[:] = xpt_szsz_ref[:] + xpt_szsz_c[:H, :H]
-
-        @pl.when(k == S - 1)
-        def _():
-            xs = _pad_sub(xpt_s_ref[:], Hp)
-            xz = _pad_sub(xpt_sz_ref[:], Hp)
-            s_sz_c = jax.lax.dot_general(
-                xs, xz, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            sz_sz_c = jax.lax.dot_general(
-                xz, xz, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            s_sz_ref[:] = s_sz_ref[:] + s_sz_c[:H, :H]
-            sz_sz_ref[:] = sz_sz_ref[:] + sz_sz_c[:H, :H]
-
-    return _kernel
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def sssc_suffstat_compact(ss, rs, Wty, G, Psi, mus, s2inv,
-                          interpret: bool = False):
-    """Compact-variant of ops.pallas_sssc.sssc_suffstat_pallas (probe)."""
-    B, S, H = ss.shape
-    Hp = max(8, _next_pow2(H))
-    assert B % TB_SS == 0, (B, TB_SS)
-    J = B // TB_SS
-    G_, Psi_, mus_, _pil = _prep_model(G, Psi, mus, jnp.zeros_like(mus),
-                                       H, Hp)
-    Lstrict = jnp.tril(jnp.ones((Hp, Hp), jnp.float32), k=-1)
-    sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
-                           else ss.astype(jnp.int8),
-                           (2, 1, 0)).reshape(H, S * B)
-    rsT = jnp.transpose(rs.astype(jnp.float32), (1, 0)).reshape(1, S * B)
-    WtyT = jnp.transpose(Wty.astype(jnp.float32), (1, 0))
-    scal = jnp.asarray(s2inv, jnp.float32).reshape(1, 1)
-
-    out = pl.pallas_call(
-        _make_suffstat_kernel_compact(Hp, H, S, K_CAP),
-        out_shape=(
-            jax.ShapeDtypeStruct((H, B), jnp.float32),
-            jax.ShapeDtypeStruct((H, B), jnp.float32),
-            jax.ShapeDtypeStruct((H, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, H), jnp.float32),
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(J, S),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda j, k: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((H, TB_SS), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((1, TB_SS), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
-                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
-                pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
-                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
-                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
-                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
-                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
-                pl.BlockSpec((H, H), lambda j, k: (0, 0)),
-            ),
-        ),
-        interpret=interpret,
-    )(scal, sT_all, rsT, WtyT, G_, Psi_, mus_, Lstrict)
-    xpt_szT, xpt_sT, xpt_ss, xpt_szsz, s_sz, sz_sz = out
-    return (jnp.transpose(xpt_szT, (1, 0)), jnp.transpose(xpt_sT, (1, 0)),
-            xpt_ss, xpt_szsz, s_sz, sz_sz)
-
-
-# ------------------------------------------------------------------ driver
-
-
-def _problem(B, K, H, D, seed=0, max_active=K_CAP):
+def _problem(B, K, H, D, seed=0, max_active=8):
     rng = np.random.default_rng(seed)
     W = rng.standard_normal((D, H)).astype(np.float32) / np.sqrt(D)
     Psi = (0.3 * np.eye(H) + 0.02).astype(np.float32)
     mus = rng.standard_normal(H).astype(np.float32) * 0.5
     Y = rng.standard_normal((B, D)).astype(np.float32)
-    # states with |s| <= max_active (the probe has no fallback)
+    # sparse states (|s| <= max_active): every tile takes the compact branch
     ss = np.zeros((B, K, H), np.int8)
     for b in range(0, B, 128):  # block-draw for speed
         n_act = rng.integers(0, max_active + 1, size=(128, K))
@@ -410,43 +56,37 @@ def _problem(B, K, H, D, seed=0, max_active=K_CAP):
                 s2inv=np.float32(1.3))
 
 
-def verify(B=256, K=3, H=32, D=25):
-    """Interpret-mode exactness vs the production kernels (CPU-safe)."""
-    from evo_tpu.ops import pallas_sssc as prod
-
-    # interpret mode ignores the TB tiling assert only if shapes divide;
-    # use one tile's worth by monkeypatching TB for the small check
-    for mod in (prod, sys.modules[__name__]):
-        mod.TB, mod.TB_SS = B, B
+def verify(B=None, K=3, H=32, D=25):
+    """Interpret-mode compact == full on one tile (CPU-safe)."""
+    B = B or prod.TB
     p = _problem(B, K, H, D)
     args = (jnp.asarray(p["ss"]), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
             jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
             jnp.asarray(p["pil"]), p["s2inv"])
-    lpj_p, bad_p = prod.sssc_lpj_pallas(*args, interpret=True)
-    lpj_c, bad_c = sssc_lpj_compact(*args, interpret=True)
-    np.testing.assert_allclose(np.asarray(lpj_c), np.asarray(lpj_p),
+    lpj_f, bad_f = prod.sssc_lpj_pallas(*args, interpret=True, compact=False)
+    lpj_c, bad_c = prod.sssc_lpj_pallas(*args, interpret=True, compact=True)
+    np.testing.assert_allclose(np.asarray(lpj_c), np.asarray(lpj_f),
                                rtol=3e-5, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(bad_c), np.asarray(bad_p))
-    print("lpj compact == production (interpret)", file=sys.stderr)
+    np.testing.assert_array_equal(np.asarray(bad_c), np.asarray(bad_f))
+    print("lpj compact == full (interpret)", file=sys.stderr)
 
-    sargs = (jnp.asarray(p["ss"]), jnp.asarray(p["rs"]), jnp.asarray(p["Wty"]),
-             jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
-             p["s2inv"])
-    out_p = prod.sssc_suffstat_pallas(*sargs, interpret=True)
-    out_c = sssc_suffstat_compact(*sargs, interpret=True)
-    for a, b, name in zip(out_c, out_p, ("xpt_sz", "xpt_s", "xpt_ss",
+    sargs = (jnp.asarray(p["ss"][:, :, :]), jnp.asarray(p["rs"]),
+             jnp.asarray(p["Wty"]), jnp.asarray(p["G"]),
+             jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]), p["s2inv"])
+    out_f = prod.sssc_suffstat_pallas(*sargs, interpret=True, compact=False)
+    out_c = prod.sssc_suffstat_pallas(*sargs, interpret=True, compact=True)
+    for a, b, name in zip(out_c, out_f, ("xpt_sz", "xpt_s", "xpt_ss",
                                          "xpt_szsz", "s_sz", "sz_sz")):
         scale = np.abs(np.asarray(b)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    atol=5e-5, err_msg=name)
-    print("suffstat compact == production (interpret)", file=sys.stderr)
+    print("suffstat compact == full (interpret)", file=sys.stderr)
 
 
 def measure():
     """Pipelined A/B timing on the TPU at the bench config."""
     from evo_tpu.apps.common import warm_d2h_async
-    from evo_tpu.ops import pallas_sssc as prod
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     warm = warm_d2h_async(verbose=True)
@@ -464,31 +104,33 @@ def measure():
                 for p in probs]
     warm.join()
 
-    def timeit(fn, sets, name, n=20):
-        out = fn(*sets[0])
+    def timeit(fn, sets, name, n=20, **kw):
+        out = fn(*sets[0], **kw)
         float(jnp.ravel(jax.tree.leaves(out)[0])[0])  # compile + warm
         t0 = time.time()
         for i in range(n):
-            out = fn(*sets[i % 2])
+            out = fn(*sets[i % 2], **kw)
         float(jnp.ravel(jax.tree.leaves(out)[0])[0])  # completion barrier
         ms = (time.time() - t0) / n * 1e3
         print(f"{name:40s} {ms:8.2f} ms", file=sys.stderr)
         return ms
 
     r = {}
-    r["lpj_prod"] = timeit(prod.sssc_lpj_pallas, argsets, "lpj production")
-    r["lpj_compact"] = timeit(sssc_lpj_compact, argsets, "lpj compact")
-    r["ss_prod"] = timeit(prod.sssc_suffstat_pallas, sargsets,
-                          "suffstat production")
-    r["ss_compact"] = timeit(sssc_suffstat_compact, sargsets,
-                             "suffstat compact")
+    r["lpj_full"] = timeit(prod.sssc_lpj_pallas, argsets, "lpj full",
+                           compact=False)
+    r["lpj_compact"] = timeit(prod.sssc_lpj_pallas, argsets, "lpj compact",
+                              compact=True)
+    r["ss_full"] = timeit(prod.sssc_suffstat_pallas, sargsets,
+                          "suffstat full", compact=False)
+    r["ss_compact"] = timeit(prod.sssc_suffstat_pallas, sargsets,
+                             "suffstat compact", compact=True)
     print({k: round(v, 2) for k, v in r.items()})
-    print(f"speedups: lpj {r['lpj_prod']/r['lpj_compact']:.2f}x, "
-          f"suffstat {r['ss_prod']/r['ss_compact']:.2f}x", file=sys.stderr)
+    print(f"speedups: lpj {r['lpj_full']/r['lpj_compact']:.2f}x, "
+          f"suffstat {r['ss_full']/r['ss_compact']:.2f}x", file=sys.stderr)
 
 
 if __name__ == "__main__":
     if os.environ.get("EVO_PROBE_VERIFY_ONLY"):
-        verify()  # monkeypatches TB/TB_SS — never before measure()
+        verify()  # B = one full lane tile (the wrappers assert B % TB == 0)
     else:
         measure()
