@@ -43,10 +43,17 @@ matmul), compacts the active units into the top-left K_cap x K_cap
 block, runs the LU / Schur recursions at K_cap, and scatters back.
 Tiles containing ANY denser state take the exact full-Hp path via a
 data-dependent branch (pl.when on the tile's max popcount) — results
-are bit-identical either way, only the flop count changes.  Measured
-on v5e at the N=16k/H=32/S=20 bench config: lpj 1.46x, suffstat 1.30x
-(tools/compact_slab_probe.py), with the fallback never firing on real
-sparse-coding workloads (max |s| ~ 6 over whole trainings).
+are bit-identical either way, only the flop count changes.  The
+compaction algebra itself rides the MXU: the one-hot projections act
+as exact per-lane row gathers through dot_general (_row_gather — each
+output element sums exactly ONE nonzero product, so the bf16
+multi-pass matmul decomposition reconstructs f32 bit-exactly), and
+the r-weighted lambda scatter contracts over lanes on the MXU without
+materializing any [Hp, Hp, T] scattered array.  Measured on v5e at
+the N=16k/H=32/S=20 bench config: suffstat 16.9 -> 3.2 ms, lpj
+8.0 -> 2.4 ms per epoch vs the pre-compaction kernels (device trace,
+PARITY.md), with the fallback never firing on real sparse-coding
+workloads (max |s| ~ 6 over whole trainings).
 """
 
 from __future__ import annotations
@@ -221,28 +228,40 @@ def _build_P(sT, Lstrict, K_cap):
     return P, rowvalid
 
 
-def _compact_mat(P, A):
-    """P A P^T for lane-major A [Hp, Hp, T] (or shared [Hp, Hp]) ->
-    [K_cap, K_cap, T].  Unrolled broadcast-reduce like _mml.
+def _row_gather(A, Pc, dim):
+    """sum_i A[i, k] Pc[i, t] (dim=0) or sum_j A[k, j] Pc[j, t] (dim=1)
+    -> [k, t], for SHARED A [Hp, Hp] and one projection row Pc [Hp, T].
 
-    Mosaic lowers middle-axis INTEGER indexing of 3D values to an
-    unsupported gather (measured on-device: "Only 2D gather is
-    supported"); every per-index access here is a [:, j:j+1, :] SLICE
-    (+ swapaxes), which lowers fine."""
-    K_cap, Hp, _ = P.shape
-    shared = A.ndim == 2
-    # PA[c, j, t] = sum_i P[c, i, t] A[i, j, t]
-    PA = None
-    for i in range(Hp):
-        Ai = A[i][None, :, None] if shared else A[i][None, :, :]
-        term = P[:, i:i + 1, :] * Ai
-        PA = term if PA is None else PA + term
-    # (PA) P^T [c, d, t] = sum_j PA[c, j, t] P[d, j, t]
-    out = None
-    for j in range(Hp):
-        term = PA[:, j:j + 1, :] * jnp.swapaxes(P[:, j:j + 1, :], 0, 1)
-        out = term if out is None else out + term
-    return out
+    This is an MXU matmul that is EXACT despite the multi-pass bf16 f32
+    decomposition: Pc is one-hot per lane, so every output element sums
+    exactly one nonzero product, and 1 * (x_hi + x_mid + x_lo)
+    reconstructs x bit-exactly (the splits occupy disjoint mantissa
+    segments).  Effectively a per-lane row gather of A at matmul speed —
+    the whole point of the compaction rewrite: the old all-VPU
+    _compact_mat paid a K_cap * Hp^2 * T broadcast-reduce for the same
+    selection."""
+    contract = (((dim,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        A, Pc, contract,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _compact_shared(P, A):
+    """P A P^T for SHARED A [Hp, Hp] -> [K_cap, K_cap, T].
+
+    Stage 1 (per projection row): PA_c[j, t] = sum_i P[c, i, t] A[i, j]
+    rides the MXU as an exact row gather (_row_gather).  Stage 2 is the
+    cheap K_cap^2 * Hp * T VPU reduction.  Leading-axis integer indexing
+    of 3D values lowers fine under Mosaic (middle-axis indexing does
+    not — that is why stage 2 keeps the [None] broadcast form)."""
+    K_cap, Hp, T = P.shape
+    rows = []
+    for c in range(K_cap):
+        PA_c = _row_gather(A, P[c], 0)  # [j, T]
+        # out[c, d, t] = sum_j P[d, j, t] PA_c[j, t]
+        rows.append(jnp.sum(P * PA_c[None, :, :], axis=1))  # [K_cap, T]
+    return jnp.stack(rows, axis=0)
 
 
 def _scatter_vec(P, xc):
@@ -255,18 +274,25 @@ def _gather_vec(P, x):
     return jnp.sum(P * x[None, :, :], axis=1)
 
 
-def _scatter_mat(P, Mc):
-    """P^T Mc P: [K_cap, Hp, T], [K_cap, K_cap, T] -> [Hp, Hp, T]
-    (zero outside each state's active block)."""
+def _scatter_weighted(P, Mc, rT):
+    """sum_t rT[t] * (P^T Mc P)[:, :, t] -> [Hp, Hp]: the r-weighted
+    scatter of the compacted matrices, without ever materializing the
+    [Hp, Hp, T] scattered array.  Stage A (VPU, K_cap^2 * Hp * T):
+    McP[c, j, t] = sum_d Mc[c, d, t] P[d, j, t], with the
+    responsibilities folded in.  Stage B (MXU, contraction over the T
+    lanes): out[i, j] = sum_c sum_t P[c, i, t] McP[c, j, t]."""
     K_cap, Hp, _ = P.shape
-    # McP[c, j, t] = sum_d Mc[c, d, t] P[d, j, t]
     McP = None
     for d in range(K_cap):
         term = Mc[:, d:d + 1, :] * P[d][None, :, :]
         McP = term if McP is None else McP + term
+    McP = McP * rT[None]
     out = None
     for c in range(K_cap):
-        term = P[c][:, None, :] * McP[c][None, :, :]
+        term = jax.lax.dot_general(
+            P[c], McP[c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [Hp, Hp]
         out = term if out is None else out + term
     return out
 
@@ -371,16 +397,27 @@ def _make_lpj_kernel(Hp: int, H: int, K_cap: int = 0):
         @pl.when(tile_ok)
         def _():
             # compact the active units of M' into the top-left K_cap
-            # block.  P already carries the state mask (P = onehot .* s),
-            # so P ((s s^T) .* T_mat) P^T == P T_mat P^T exactly — the
-            # ssT masking falls out, and P (I) P^T = diag(rowvalid) means
-            # the identity part is added back explicitly (pad rows ->
-            # identity)
+            # block — WITHOUT materializing T_mat: since
+            # T_mat[i, j] = sum_k Psi[i, k] s_k G[k, j] and P already
+            # carries the state mask (P = onehot .* s),
+            #   (P T_mat P^T)[c, d] = sum_k s_k PPsi[c][k] PG[d][k]
+            # where PPsi[c] = P[c]-row-gather of Psi and PG[d] = of G —
+            # both exact MXU gathers (_row_gather).  P (I) P^T =
+            # diag(rowvalid), so the identity part is added back
+            # explicitly (pad rows -> identity).
             P, _rowvalid = _build_P(sT, L_ref[:], K_cap)
             iK = jax.lax.broadcasted_iota(jnp.int32, (K_cap, K_cap), 0)
             jK = jax.lax.broadcasted_iota(jnp.int32, (K_cap, K_cap), 1)
             eyeK = (iK == jK).astype(jnp.float32)
-            Ac_scr[:] = (s2inv * _compact_mat(P, _t_mat())
+            # fold the s_k mask into the Psi side once
+            PPsi = [sT * _row_gather(psi_ref[:], P[c], 0)
+                    for c in range(K_cap)]
+            PG = jnp.stack(
+                [_row_gather(G_ref[:], P[d], 1) for d in range(K_cap)],
+                axis=0)  # [K_cap, Hp, T]
+            rows = [jnp.sum(PG * PPsi[c][None, :, :], axis=1)
+                    for c in range(K_cap)]  # each [K_cap, T]
+            Ac_scr[:] = (s2inv * jnp.stack(rows, axis=0)
                          + eyeK[:, :, None])
             ldMP, x_c, bad = _lu_logdet_solve(
                 Ac_scr, _gather_vec(P, Pu), K_cap)
@@ -531,9 +568,10 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0):
             @pl.when(tile_ok)
             def _():
                 P, rowvalid = _build_P(sT, L_ref[:], K_cap)
-                Psi_c = _compact_mat(P, psi_ref[:]) + _eye3(K_cap, rowvalid)
+                Psi_c = (_compact_shared(P, psi_ref[:])
+                         + _eye3(K_cap, rowvalid))
                 Pinv_c, _ldP = _pd_inv_logdet(Psi_c)
-                G_c = _compact_mat(P, G_ref[:])
+                G_c = _compact_shared(P, G_ref[:])
                 M_c = s2inv * G_c + Pinv_c  # pad rows: identity from Pinv_c
                 lam_c, _ldM = _pd_inv_logdet(M_c)
                 u_c = _gather_vec(P, uT)
@@ -545,8 +583,9 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0):
                 # XLA path's nan_to_num (models/sssc.py)
                 kap_scr[:] = jnp.where(jnp.isfinite(kT), kT, 0.0)
                 lam_c = jnp.where(jnp.isfinite(lam_c), lam_c, 0.0)
-                lamm = _scatter_mat(P, lam_c)  # zero off the active block
-                lamr_scr[:] = jnp.sum(lamm * rT[None], axis=2)
+                # r-weighted scatter off the active blocks, [Hp, Hp, T]
+                # never materialized
+                lamr_scr[:] = _scatter_weighted(P, lam_c, rT)
 
             @pl.when(jnp.logical_not(tile_ok))
             def _():
