@@ -118,6 +118,10 @@ def main():
     # latency with device compute — blocking per epoch would time the
     # tunnel round-trip, not the framework (device trace: 56 ms/epoch vs
     # 88 ms wall when blocking each epoch through the axon tunnel).
+    # NOT models.base.em_steps here: the on-device epoch scan was measured
+    # SLOWER at this scale (43.3 vs 37.3 ms/epoch — the scan carry forces
+    # state-stack copies that outweigh the ~3 ms/epoch dispatch it saves;
+    # em_steps wins 3.2x at bars scale where dispatch dominates, PARITY.md).
     Fs = []
     t0 = time.time()
     for e in range(EPOCHS):

@@ -18,6 +18,7 @@ TPU-native replacement for the reference's MPI Scatterv data parallelism
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -181,3 +182,47 @@ class StepStats:
         default_factory=lambda: jnp.zeros((), jnp.int32))
     guard_psi_renorm: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "n_epochs"))
+def em_steps(model, params, estate, data: Data, key, cfg,
+             n_epochs: int, e0=0):
+    """`n_epochs` EM epochs as ONE jitted lax.scan — a single device
+    dispatch for the whole window.
+
+    The reference's training loop is host-driven per epoch
+    (examples/bars-test/main.py:156-168); evo_tpu's em_step is already one
+    fused device program per epoch, but each epoch still costs a host
+    dispatch (~3 ms through the tunneled TPU even when pipelined).
+    Inside a scan that cost is zero — BUT the scan carry constrains the
+    state-array buffers across iterations, which costs copies that the
+    back-to-back jit path avoids.  Both effects are measured (PARITY.md
+    "multi-epoch dispatch"): at bars scale (H=8, N=400) em_steps is
+    **3.2x faster** (3.07 -> 0.97 ms/epoch — dispatch dominates); at the
+    north-star scale (N=102k, H=256, S=64, 1.7 GB state set) it is ~16%
+    SLOWER (37.3 -> 43.3 ms/epoch — the carry copies dominate).  Rule of
+    thumb: use em_steps when the per-epoch device time is within ~10x of
+    the dispatch latency, or on any high-latency link; use the pipelined
+    per-epoch loop for huge state sets.  The apps' EMTrainer keeps the
+    per-epoch loop regardless — its logging/callback/checkpoint cadence
+    mirrors the reference's.
+
+    Epoch e uses jax.random.fold_in(key, e0 + e) where e0 counts epochs
+    already consumed from `key`, matching the canonical host loop
+    `em_step(..., fold_in(key, e), ...)` bit-for-bit — trajectories are
+    IDENTICAL to host-stepping the same epochs (tested:
+    tests/test_bsc_em.py::test_em_steps_matches_host_loop).
+
+    Returns (params, estate, stats) with every StepStats leaf stacked
+    along a leading [n_epochs] axis.  Reconstruction is not produced
+    (do_reconstruction epochs need the host anyway).
+    """
+    def body(carry, e):
+        p, s = carry
+        p, s, stats, _ = model.em_step(
+            p, s, data, jax.random.fold_in(key, e), cfg)
+        return (p, s), stats
+
+    (params, estate), stats = jax.lax.scan(
+        body, (params, estate), e0 + jnp.arange(n_epochs))
+    return params, estate, stats

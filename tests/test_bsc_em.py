@@ -192,3 +192,38 @@ def test_sigma_floor_guard_fires_and_surfaces():
     assert hits > 0
     rms = float(np.sqrt((Y**2).mean()))
     np.testing.assert_allclose(float(params.sigma), 1e-3 * rms, rtol=1e-5)
+
+
+def test_em_steps_matches_host_loop():
+    """The fused multi-epoch scan driver (models.base.em_steps) must
+    reproduce the canonical host loop bit-for-bit — same fold_in(key, e)
+    schedule, same epoch program — including across a chunk boundary via
+    the e0 epoch offset."""
+    from evo_tpu.models.base import em_steps
+
+    model, _params_gen, Y = make_bars_problem(H=8, N=256)
+    data = make_data(Y, n_blocks=2)
+    cfg, estate = init_states(N=256, S=12, H=8, no_parents=5, no_children=1,
+                              no_generations=1, n_blocks=2, seed=3)
+    params = model.standard_init(data, seed=3)
+    key = jax.random.key(11)
+
+    # host loop: 5 epochs
+    p_h, s_h = params, estate
+    F_host = []
+    for e in range(5):
+        p_h, s_h, st, _ = model.em_step(
+            p_h, s_h, data, jax.random.fold_in(key, e), cfg)
+        F_host.append(float(st.F))
+
+    # scan driver: 3 epochs, then 2 more with e0=3 (chunk boundary)
+    p_s, s_s, st1 = em_steps(model, params, estate, data, key, cfg, 3)
+    p_s, s_s, st2 = em_steps(model, p_s, s_s, data, key, cfg, 2, e0=3)
+    F_scan = [float(f) for f in st1.F] + [float(f) for f in st2.F]
+
+    np.testing.assert_array_equal(np.asarray(F_scan), np.asarray(F_host))
+    np.testing.assert_array_equal(np.asarray(p_s.W), np.asarray(p_h.W))
+    np.testing.assert_array_equal(np.asarray(p_s.sigma), np.asarray(p_h.sigma))
+    np.testing.assert_array_equal(np.asarray(s_s.lpj), np.asarray(s_h.lpj))
+    np.testing.assert_array_equal(np.asarray(s_s.ss), np.asarray(s_h.ss))
+    assert st1.F.shape == (3,) and st2.F.shape == (2,)

@@ -212,3 +212,39 @@ def test_sssc_dying_unit_guards_fire_and_surface():
     # gauge renormalization magnitude is reported (f32 path, full to_learn)
     assert float(stats.guard_psi_renorm) >= 0.0
     assert np.isfinite(float(p2.mus[H - 1]))
+
+
+def test_sssc_em_steps_matches_host_loop():
+    """models.base.em_steps must reproduce the SSSC host loop bit-for-bit
+    (BSC counterpart: test_bsc_em.py::test_em_steps_matches_host_loop)."""
+    from evo_tpu.models.base import em_steps
+
+    H, N, S = 6, 200, 12
+    D = (H // 2) ** 2
+    model = SSSC(D=D, H=H)
+    rng = np.random.default_rng(2)
+    W, pies, mus, Psi, sigma2 = random_params(rng, D, H)
+    params_gen = SSSCParams(
+        W=jnp.asarray(W, jnp.float32), pies=jnp.asarray(pies, jnp.float32),
+        mus=jnp.asarray(mus, jnp.float32), Psi=jnp.asarray(Psi, jnp.float32),
+        sigma2=jnp.asarray(sigma2, jnp.float32))
+    Y = np.asarray(model.generate_data(jax.random.key(1), params_gen, N)["y"])
+    data = make_data(Y, n_blocks=2)
+    cfg, estate = init_states(N=N, S=S, H=H, no_parents=5, no_children=1,
+                              no_generations=1, n_blocks=2, seed=1)
+    params = model.standard_init(data, seed=1)
+    key = jax.random.key(21)
+
+    p_h, s_h = params, estate
+    F_host = []
+    for e in range(4):
+        p_h, s_h, st, _ = model.em_step(
+            p_h, s_h, data, jax.random.fold_in(key, e), cfg)
+        F_host.append(float(st.F))
+
+    p_s, s_s, st_all = em_steps(model, params, estate, data, key, cfg, 4)
+    np.testing.assert_array_equal(
+        np.asarray([float(f) for f in st_all.F]), np.asarray(F_host))
+    np.testing.assert_array_equal(np.asarray(p_s.W), np.asarray(p_h.W))
+    np.testing.assert_array_equal(np.asarray(p_s.Psi), np.asarray(p_h.Psi))
+    np.testing.assert_array_equal(np.asarray(s_s.lpj), np.asarray(s_h.lpj))
