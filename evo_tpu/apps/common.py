@@ -112,6 +112,12 @@ def experiment_parser(no_epochs=40):
     p.add_argument("--device_trace_every", type=int, default=0,
                    help="Capture a jax.profiler device trace of one epoch "
                         "every X epochs into <outdir>/device_trace (0=off)")
+    p.add_argument("--chunk_epochs", type=int, default=1,
+                   help="Fuse X epochs into one device dispatch "
+                        "(models.base.em_steps; bit-identical trajectory). "
+                        "Viz/Theta logging then happens at chunk ends; big "
+                        "win when per-epoch device time is small vs the "
+                        "dispatch latency")
     return p
 
 
@@ -145,6 +151,10 @@ def image_experiment_parser():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--tracefile", type=str, default=None)
     p.add_argument("--device_trace_every", type=int, default=0)
+    p.add_argument("--chunk_epochs", type=int, default=1,
+                   help="Fuse X epochs into one device dispatch "
+                        "(incompatible with --save_theta_all_epochs; "
+                        "reconstruction epochs still run solo)")
     return p
 
 

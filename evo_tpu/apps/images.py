@@ -175,7 +175,8 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
                         # --save_theta_all_epochs
                         theta_append=getattr(args, "save_theta_all_epochs", False),
                         tracefile=getattr(args, "tracefile", None),
-                        device_trace_every=getattr(args, "device_trace_every", 0))
+                        device_trace_every=getattr(args, "device_trace_every", 0),
+                        chunk_epochs=getattr(args, "chunk_epochs", 1))
     params, estate, stats = trainer.run(args.no_epochs,
                                         reconstruct_at=reconstruct_at,
                                         epoch_callback=epoch_callback)

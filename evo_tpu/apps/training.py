@@ -36,13 +36,29 @@ class EMTrainer:
     def __init__(self, model, cfg, params, estate, data, dlog, outdir: str,
                  seed: int = 0, checkpoint_every: int = 0,
                  resume: Optional[str] = None, theta_append: bool = True,
-                 tracefile: Optional[str] = None, device_trace_every: int = 0):
+                 tracefile: Optional[str] = None, device_trace_every: int = 0,
+                 chunk_epochs: int = 1):
         self.model, self.cfg, self.data = model, cfg, data
         self.params, self.estate = params, estate
         self.dlog, self.outdir = dlog, outdir
         self.checkpoint_every = checkpoint_every
         self.theta_append = theta_append
         self.device_trace_every = device_trace_every
+        # chunk_epochs > 1: fuse runs of host-invisible epochs into ONE
+        # device dispatch (models.base.em_steps; trajectory bit-identical
+        # to per-epoch stepping).  Per-epoch F/S_*/guard metrics are still
+        # logged from the stacked stats; Theta tables and epoch_callback
+        # fire at chunk ends only (intermediate params never reach the
+        # host), so chunking requires the Theta-overwrite logging mode
+        # (theta_append=False) where only the latest Theta is kept anyway.
+        # Reconstruction and device-trace epochs always run solo;
+        # checkpoint boundaries end chunks.
+        self.chunk_epochs = max(1, int(chunk_epochs))
+        if self.chunk_epochs > 1 and theta_append:
+            raise ValueError(
+                "chunk_epochs > 1 cannot log Theta per epoch "
+                "(intermediate params stay on device); use "
+                "theta_append=False (the Theta-overwrite logging mode)")
         self.start_epoch = 0
         self.key = jax.random.key(seed)
         self._tracing = bool(tracefile)
@@ -56,9 +72,12 @@ class EMTrainer:
             )
             print(f"Resumed from {resume} at epoch {self.start_epoch}")
 
-    def _log_epoch(self, stats):
+    def _log_epoch(self, stats, log_theta: bool = True):
         metrics = {"F": float(stats.F), "S_nunique": float(stats.S_nunique),
                    "S_sub": float(stats.S_sub)}
+        if not log_theta:
+            self.dlog.append_all(metrics)
+            return
         theta = params_to_dict(self.params)
         if self.theta_append:
             self.dlog.append_all(merge_dict(metrics, theta))
@@ -67,6 +86,73 @@ class EMTrainer:
             self.dlog.append_all(metrics)
             for name, value in theta.items():
                 self.dlog.assign(name, value)
+
+    def _print_guards(self, stats):
+        for name in ("n_reset_nan", "n_reset_small", "n_reset_inf",
+                     "n_guard_sigma_floor", "n_guard_mus_freeze",
+                     "n_guard_psi_freeze"):
+            v = int(getattr(stats, name))
+            if v > 0:
+                print(f"\t{name} = {v}")
+        renorm = float(stats.guard_psi_renorm)
+        if renorm > 0.1:  # only surface non-trivial gauge corrections
+            print(f"\tguard_psi_renorm = {renorm:.3f}")
+
+    def _chunk_len(self, e: int, no_epochs: int, reconstruct_at) -> int:
+        """Largest n <= chunk_epochs such that epochs [e, e+n) need no host
+        interaction inside: no reconstruction or device-trace epoch, and any
+        checkpoint boundary falls exactly at the chunk end."""
+        n = 0
+        for b in range(e, min(e + self.chunk_epochs, no_epochs)):
+            if reconstruct_at is not None and bool(reconstruct_at(b)):
+                break  # this epoch must run solo (host consumes y_rec)
+            if (self.device_trace_every
+                    and (b + 1) % self.device_trace_every == 0):
+                break  # solo: the profiler brackets a single em_step
+            n += 1
+            if self.checkpoint_every and (b + 1) % self.checkpoint_every == 0:
+                break  # checkpoint needs host state here: end the chunk
+        return max(1, n)
+
+    def _run_chunk(self, e: int, n: int, no_epochs: int, epoch_callback):
+        """Epochs [e, e+n) as ONE device dispatch (models.base.em_steps —
+        trajectory bit-identical to per-epoch stepping).  Per-epoch
+        F/S_*/guard metrics are logged from the stacked stats; Theta
+        (overwrite mode) and epoch_callback fire once at the chunk end.
+        Returns (next epoch index, host StepStats of the last epoch)."""
+        from evo_tpu.models.base import em_steps
+
+        self.dlog.progress(f"Epochs {e + 1}-{e + n} of {no_epochs} "
+                           f"(one dispatch)")
+        t0 = time.time()
+        tracing.tracepoint("em_steps:begin")
+        self.params, self.estate, stats_all = em_steps(
+            self.model, self.params, self.estate, self.data, self.key,
+            self.cfg, n, e0=e)
+        stats_all = jax.device_get(stats_all)  # one transfer for the window
+        tracing.tracepoint("em_steps:end")
+
+        tracing.tracepoint("log:begin")
+        stats = None
+        for i in range(n):
+            stats = jax.tree_util.tree_map(lambda a, i=i: a[i], stats_all)
+            self._log_epoch(stats, log_theta=(i == n - 1))
+            self._print_guards(stats)
+        tracing.tracepoint("log:end")
+        if epoch_callback is not None:
+            tracing.tracepoint("epoch_callback:begin")
+            epoch_callback(epoch=e + n, F=float(stats.F), params=self.params,
+                           stats=stats, y_rec=None)
+            tracing.tracepoint("epoch_callback:end")
+        if self.checkpoint_every and (e + n) % self.checkpoint_every == 0:
+            tracing.tracepoint("checkpoint:begin")
+            path = os.path.join(self.outdir, "checkpoint.npz")
+            save_checkpoint(path, self.params, self.estate, e + n, self.key)
+            tracing.tracepoint("checkpoint:end")
+            print(f"\tcheckpoint -> {path}")
+        print("\tTotal chunk runtime : %.2f s (%d epochs)"
+              % (time.time() - t0, n))
+        return e + n, stats
 
     def run(self, no_epochs: int,
             reconstruct_at: Optional[Callable[[int], bool]] = None,
@@ -87,10 +173,17 @@ class EMTrainer:
                     self.params, self.estate, self.data))),
                 S_nunique=z, S_sub=z,
                 n_reset_nan=z, n_reset_small=z, n_reset_inf=z)
-        for e in range(self.start_epoch, no_epochs):
+        e = self.start_epoch
+        while e < no_epochs:
+            n_chunk = (self._chunk_len(e, no_epochs, reconstruct_at)
+                       if self.chunk_epochs > 1 else 1)
+            if n_chunk > 1:
+                e, stats = self._run_chunk(e, n_chunk, no_epochs,
+                                           epoch_callback)
+                continue
+            rec = bool(reconstruct_at(e)) if reconstruct_at else False
             self.dlog.progress(f"Epoch {e + 1} of {no_epochs}")
             t0 = time.time()
-            rec = bool(reconstruct_at(e)) if reconstruct_at else False
             key = jax.random.fold_in(self.key, e)
 
             capture = (self.device_trace_every
@@ -117,15 +210,7 @@ class EMTrainer:
             tracing.tracepoint("log:begin")
             self._log_epoch(stats)
             tracing.tracepoint("log:end")
-            for name in ("n_reset_nan", "n_reset_small", "n_reset_inf",
-                         "n_guard_sigma_floor", "n_guard_mus_freeze",
-                         "n_guard_psi_freeze"):
-                v = int(getattr(stats, name))
-                if v > 0:
-                    print(f"\t{name} = {v}")
-            renorm = float(stats.guard_psi_renorm)
-            if renorm > 0.1:  # only surface non-trivial gauge corrections
-                print(f"\tguard_psi_renorm = {renorm:.3f}")
+            self._print_guards(stats)
             if epoch_callback is not None:
                 tracing.tracepoint("epoch_callback:begin")
                 epoch_callback(epoch=e + 1, F=F, params=self.params,
@@ -138,6 +223,7 @@ class EMTrainer:
                 tracing.tracepoint("checkpoint:end")
                 print(f"\tcheckpoint -> {path}")
             print("\tTotal epoch runtime : %.2f s" % (time.time() - t0))
+            e += 1
         if self._tracing:
             tracing.close(os.path.join(self.outdir, "traces.tgz"))
         return self.params, self.estate, stats

@@ -257,3 +257,59 @@ def test_feature_learning_app_sssc(tmp_path):
                                          N=200, ph=5, pw=5)
     out = feature_learning.run(args)
     assert np.isfinite(out["F"])
+
+
+def test_chunk_epochs_matches_per_epoch_run(tmp_path):
+    """--chunk_epochs fuses host-invisible epochs through em_steps: the
+    final F/params must EQUAL the per-epoch run (bit-identical schedule),
+    metrics must still be logged once per epoch, and checkpoint boundaries
+    must end chunks (so the checkpoint content matches too)."""
+    import h5py
+    from evo_tpu.apps import bars
+
+    common = _bars_args()
+    out_ref = bars.run(_ns(**common, **_common(
+        no_epochs=6, checkpoint_every=4,
+        output_directory=str(tmp_path / "per_epoch"))))
+    out_chk = bars.run(_ns(**common, **_common(
+        no_epochs=6, checkpoint_every=4, chunk_epochs=4,
+        output_directory=str(tmp_path / "chunked"))))
+    np.testing.assert_array_equal(out_chk["F"], out_ref["F"])
+    for name in ("W", "sigma", "pi"):
+        np.testing.assert_array_equal(
+            np.asarray(out_chk["params"].__getattribute__(name)),
+            np.asarray(out_ref["params"].__getattribute__(name)))
+    with h5py.File(os.path.join(out_chk["outdir"], "training.h5"), "r") as f:
+        F_chk = np.asarray(f["F"])
+        W_rows = np.asarray(f["W"]).shape[0]
+    with h5py.File(os.path.join(out_ref["outdir"], "training.h5"), "r") as f:
+        F_ref = np.asarray(f["F"])
+    # one F row per epoch either way, identical values
+    np.testing.assert_array_equal(F_chk, F_ref)
+    # chunked mode keeps Theta in overwrite mode: exactly one W row
+    assert W_rows == 1
+    # both wrote the epoch-4 checkpoint; contents must agree
+    ck_ref = np.load(os.path.join(out_ref["outdir"], "checkpoint.npz"))
+    ck_chk = np.load(os.path.join(out_chk["outdir"], "checkpoint.npz"))
+    assert int(ck_ref["epoch"]) == int(ck_chk["epoch"]) == 4
+    np.testing.assert_array_equal(ck_ref["params/W"], ck_chk["params/W"])
+
+
+def test_chunk_epochs_with_reconstruction_boundaries(tmp_path):
+    """Chunking must step reconstruction epochs solo (the host consumes
+    y_rec for patch merging) and still produce the identical trajectory and
+    PSNR as the per-epoch run."""
+    from evo_tpu.apps.images import run_denoising
+
+    common = dict(algo="ebsc", clean_image=str(tmp_path / "nonexistent.png"),
+                  rescale=0.25, noise_level=25.0, patch_height=5,
+                  patch_width=None, H=16, merge_every=4,
+                  save_theta_all_epochs=False)
+    out_ref = run_denoising(_ns(**common, **_common(
+        no_epochs=8, Ksize=12, no_parents=6,
+        output_directory=str(tmp_path / "a"))))
+    out_chk = run_denoising(_ns(**common, **_common(
+        no_epochs=8, Ksize=12, no_parents=6, chunk_epochs=3,
+        output_directory=str(tmp_path / "b"))))
+    np.testing.assert_array_equal(out_chk["F"], out_ref["F"])
+    np.testing.assert_array_equal(out_chk["psnr"], out_ref["psnr"])
