@@ -168,6 +168,23 @@ def viz_parser():
     return p
 
 
+def chunking_kwargs(args, theta_append: bool = True,
+                    auto_overwrite: bool = True) -> dict:
+    """Shared --chunk_epochs handling for EMTrainer construction.
+
+    Chunked dispatch cannot log Theta per epoch (intermediate params stay
+    on device), so apps whose Theta mode is implicit (bars,
+    feature-learning: theta_append defaults True) auto-switch to the
+    overwrite mode with a printed note.  Apps where the user set the mode
+    explicitly (images: --save_theta_all_epochs) pass
+    auto_overwrite=False and let EMTrainer reject the conflict loudly."""
+    chunk = max(1, int(getattr(args, "chunk_epochs", 1)))
+    if chunk > 1 and theta_append and auto_overwrite:
+        print(f"chunk_epochs={chunk}: Theta tables in overwrite mode")
+        theta_append = False
+    return dict(chunk_epochs=chunk, theta_append=theta_append)
+
+
 def setup_experiment(args, name: str):
     """Create the output dir, the DataLog with H5 + console handlers, and the
     stdout tee; returns (dlog, output_directory)."""

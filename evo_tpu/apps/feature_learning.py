@@ -9,7 +9,8 @@ import os
 
 import numpy as np
 
-from evo_tpu.apps.common import (apply_platform_env, params_to_dict,
+from evo_tpu.apps.common import (apply_platform_env, chunking_kwargs,
+                                 params_to_dict,
                                  setup_experiment, warm_d2h_async)
 from evo_tpu.apps.training import EMTrainer
 from evo_tpu.apps.viz import GFVisualizer
@@ -79,17 +80,13 @@ def run(args) -> dict:
         sort_gfs=args.sort_gfs,
     )
 
-    chunk = getattr(args, "chunk_epochs", 1)
-    if chunk > 1:
-        print(f"chunk_epochs={chunk}: Theta tables in overwrite mode")
     trainer = EMTrainer(model, cfg, params, estate, data, dlog, outdir,
                         seed=args.seed + 1,
                         checkpoint_every=args.checkpoint_every,
                         resume=args.resume,
-                        theta_append=(chunk <= 1),
                         tracefile=getattr(args, "tracefile", None),
                         device_trace_every=getattr(args, "device_trace_every", 0),
-                        chunk_epochs=chunk)
+                        **chunking_kwargs(args))
     params, estate, stats = trainer.run(
         args.no_epochs,
         epoch_callback=lambda epoch, F, params, **kw: visualizer.process_epoch(

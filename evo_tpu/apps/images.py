@@ -8,7 +8,8 @@ import os
 
 import numpy as np
 
-from evo_tpu.apps.common import (apply_platform_env, params_to_dict,
+from evo_tpu.apps.common import (apply_platform_env, chunking_kwargs,
+                                 params_to_dict,
                                  setup_experiment, warm_d2h_async)
 from evo_tpu.apps.training import EMTrainer, gather_reconstruction
 from evo_tpu.apps.viz import ReconstructionVisualizer
@@ -170,13 +171,18 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
                         seed=args.seed + 1,
                         checkpoint_every=args.checkpoint_every,
                         resume=args.resume,
-                        # reference image-denoising/main.py:55-61: Theta is
-                        # overwritten (constant-size H5) unless
-                        # --save_theta_all_epochs
-                        theta_append=getattr(args, "save_theta_all_epochs", False),
                         tracefile=getattr(args, "tracefile", None),
                         device_trace_every=getattr(args, "device_trace_every", 0),
-                        chunk_epochs=getattr(args, "chunk_epochs", 1))
+                        # reference image-denoising/main.py:55-61: Theta is
+                        # overwritten (constant-size H5) unless
+                        # --save_theta_all_epochs; an EXPLICIT
+                        # --save_theta_all_epochs conflicts with chunking
+                        # (EMTrainer rejects it loudly)
+                        **chunking_kwargs(
+                            args,
+                            theta_append=getattr(
+                                args, "save_theta_all_epochs", False),
+                            auto_overwrite=False))
     params, estate, stats = trainer.run(args.no_epochs,
                                         reconstruct_at=reconstruct_at,
                                         epoch_callback=epoch_callback)

@@ -98,6 +98,20 @@ class EMTrainer:
         if renorm > 0.1:  # only surface non-trivial gauge corrections
             print(f"\tguard_psi_renorm = {renorm:.3f}")
 
+    def _maybe_checkpoint(self, epoch: int):
+        """Write the resumable checkpoint if `epoch` is a boundary (shared
+        by the per-epoch and chunked paths, so their files stay
+        format-identical — the chunk/per-epoch equality test compares
+        contents)."""
+        if not (self.checkpoint_every
+                and epoch % self.checkpoint_every == 0):
+            return
+        tracing.tracepoint("checkpoint:begin")
+        path = os.path.join(self.outdir, "checkpoint.npz")
+        save_checkpoint(path, self.params, self.estate, epoch, self.key)
+        tracing.tracepoint("checkpoint:end")
+        print(f"\tcheckpoint -> {path}")
+
     def _chunk_len(self, e: int, no_epochs: int, reconstruct_at) -> int:
         """Largest n <= chunk_epochs such that epochs [e, e+n) need no host
         interaction inside: no reconstruction or device-trace epoch, and any
@@ -144,12 +158,7 @@ class EMTrainer:
             epoch_callback(epoch=e + n, F=float(stats.F), params=self.params,
                            stats=stats, y_rec=None)
             tracing.tracepoint("epoch_callback:end")
-        if self.checkpoint_every and (e + n) % self.checkpoint_every == 0:
-            tracing.tracepoint("checkpoint:begin")
-            path = os.path.join(self.outdir, "checkpoint.npz")
-            save_checkpoint(path, self.params, self.estate, e + n, self.key)
-            tracing.tracepoint("checkpoint:end")
-            print(f"\tcheckpoint -> {path}")
+        self._maybe_checkpoint(e + n)
         print("\tTotal chunk runtime : %.2f s (%d epochs)"
               % (time.time() - t0, n))
         return e + n, stats
@@ -216,12 +225,7 @@ class EMTrainer:
                 epoch_callback(epoch=e + 1, F=F, params=self.params,
                                stats=stats, y_rec=y_rec)
                 tracing.tracepoint("epoch_callback:end")
-            if self.checkpoint_every and (e + 1) % self.checkpoint_every == 0:
-                tracing.tracepoint("checkpoint:begin")
-                path = os.path.join(self.outdir, "checkpoint.npz")
-                save_checkpoint(path, self.params, self.estate, e + 1, self.key)
-                tracing.tracepoint("checkpoint:end")
-                print(f"\tcheckpoint -> {path}")
+            self._maybe_checkpoint(e + 1)
             print("\tTotal epoch runtime : %.2f s" % (time.time() - t0))
             e += 1
         if self._tracing:

@@ -203,9 +203,17 @@ def em_steps(model, params, estate, data: Data, key, cfg,
     SLOWER (37.3 -> 43.3 ms/epoch — the carry copies dominate).  Rule of
     thumb: use em_steps when the per-epoch device time is within ~10x of
     the dispatch latency, or on any high-latency link; use the pipelined
-    per-epoch loop for huge state sets.  The apps' EMTrainer keeps the
-    per-epoch loop regardless — its logging/callback/checkpoint cadence
-    mirrors the reference's.
+    per-epoch loop for huge state sets.  The apps' EMTrainer steps
+    per-epoch by default (reference-matching logging cadence) and routes
+    host-invisible epochs through here when --chunk_epochs > 1.
+
+    Complete data only: incomplete data requires per-epoch
+    reconstruction on the host side of the M-step — use em_step with
+    do_reconstruction=True (raises here with that message).
+
+    Each distinct n_epochs value compiles its own scan program (jit
+    cache keyed on the static length); callers with varying window
+    lengths pay one compile per distinct length.
 
     Epoch e uses jax.random.fold_in(key, e0 + e) where e0 counts epochs
     already consumed from `key`, matching the canonical host loop
@@ -217,6 +225,12 @@ def em_steps(model, params, estate, data: Data, key, cfg,
     along a leading [n_epochs] axis.  Reconstruction is not produced
     (do_reconstruction epochs need the host anyway).
     """
+    if data.incomplete:
+        raise ValueError(
+            "em_steps supports complete data only: incomplete data "
+            "requires per-epoch reconstruction (use em_step with "
+            "do_reconstruction=True)")
+
     def body(carry, e):
         p, s = carry
         p, s, stats, _ = model.em_step(

@@ -42,8 +42,12 @@ builds per-state one-hot projections P (rank = one MXU prefix-popcount
 matmul), compacts the active units into the top-left K_cap x K_cap
 block, runs the LU / Schur recursions at K_cap, and scatters back.
 Tiles containing ANY denser state take the exact full-Hp path via a
-data-dependent branch (pl.when on the tile's max popcount) — results
-are bit-identical either way, only the flop count changes.  The
+data-dependent branch (pl.when on the tile's max popcount).  Both
+branches compute the same exact selections of the same model matrices;
+they differ only in summation grouping (compacted K_cap recursions and
+f32 VPU reduces vs full-Hp recursions and bf16x6 MXU products), so
+results agree to f32 rounding — last-ulp differences across the branch
+are possible, NOT bit-identity.  The
 compaction algebra itself rides the MXU: the one-hot projections act
 as exact per-lane row gathers through dot_general (_row_gather — each
 output element sums exactly ONE nonzero product, so the bf16

@@ -227,3 +227,17 @@ def test_em_steps_matches_host_loop():
     np.testing.assert_array_equal(np.asarray(s_s.lpj), np.asarray(s_h.lpj))
     np.testing.assert_array_equal(np.asarray(s_s.ss), np.asarray(s_h.ss))
     assert st1.F.shape == (3,) and st2.F.shape == (2,)
+
+
+def test_em_steps_rejects_incomplete_data():
+    from evo_tpu.models.base import em_steps
+
+    model, _params_gen, Y = make_bars_problem(H=8, N=64)
+    Y = Y.copy()
+    Y[0, 0] = np.nan  # missing entry -> incomplete data
+    data = make_data(Y, n_blocks=1)
+    cfg, estate = init_states(N=64, S=8, H=8, no_parents=4, no_children=1,
+                              no_generations=1, n_blocks=1, seed=0)
+    params = model.standard_init(data, seed=0)
+    with pytest.raises(ValueError, match="complete data only"):
+        em_steps(model, params, estate, data, jax.random.key(0), cfg, 2)
