@@ -171,8 +171,13 @@ def main():
                                     no_children=1, no_generations=1,
                                     n_blocks=NBs, seed=0)
         sparams = smodel.standard_init(sdata, seed=0, y_host=Ys)
-        sp, se, sstats0, _ = smodel.em_step(sparams, sestate, sdata,
-                                            jax.random.key(0), scfg)
+        sp, se = sparams, sestate
+        # compile + 3 warm epochs (the first post-compile epochs pay a
+        # one-time runtime cost; see the primary warmup note / CLAUDE.md)
+        sstats0 = None
+        for e in range(4):
+            sp, se, sstats0, _ = smodel.em_step(sp, se, sdata,
+                                                jax.random.key(100 + e), scfg)
         float(sstats0.F)  # value readback (see note above)
         t0 = time.time()
         sstats = None
