@@ -266,3 +266,30 @@ def test_checkpoint_converts_byte_major_packed(tmp_path):
     assert estate.ss.dtype == jnp.uint8
     got = np.asarray(unpack_bits_lane(estate.ss, H))
     np.testing.assert_array_equal(got, ss_bool)
+
+
+def test_em_steps_sharded_matches_unsharded():
+    """The multi-epoch scan driver (models.base.em_steps) composes with
+    GSPMD exactly like em_step: the same window on sharded vs unsharded
+    inputs must produce identical trajectories and final state."""
+    from evo_tpu.models.base import em_steps
+
+    model, cfg, params, estate, data = _setup()
+    key = jax.random.key(13)
+
+    p1, e1, st1 = em_steps(model, params, estate, data, key, cfg, 4)
+
+    mesh = make_mesh(8)
+    data_s = shard_blocked(data, mesh)
+    estate_s = shard_blocked(estate, mesh)
+    params_s = replicate(params, mesh)
+    p2, e2, st2 = em_steps(model, params_s, estate_s, data_s, key, cfg, 4)
+
+    np.testing.assert_allclose(np.asarray(st1.F), np.asarray(st2.F),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1.W), np.asarray(p2.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(e1.ss), np.asarray(e2.ss))
+    # the carried estate stays sharded over the data axis across epochs
+    spec = e2.lpj.sharding.spec
+    assert "data" in tuple(spec), spec
