@@ -446,8 +446,21 @@ def _prep_model(G, Psi, mus, pil_bar, H, Hp):
             pil_bar.astype(jnp.float32).reshape(Hp, 1))
 
 
-TB = 1024  # lpj kernel: datapoints (lanes) per tile
-TB_SS = 512  # suffstat kernel tile (the Schur recursion is VMEM-hungrier)
+TB = 1024  # lpj kernel: datapoints (lanes) per tile at Hp <= 32
+TB_SS = 512  # suffstat kernel tile at Hp <= 32 (Schur is VMEM-hungrier)
+
+
+def _tb_lpj(Hp: int) -> int:
+    """Lanes per lpj tile: the [Hp, Hp, tb] f32 working set must fit the
+    ~16 MB scoped-VMEM budget, so Hp = 64 quarters the tile (same
+    bytes/tile as Hp = 32 at TB = 1024)."""
+    return TB if Hp <= 32 else 256
+
+
+def _tb_ss(Hp: int) -> int:
+    """Suffstat tile: the full-path fallback (_solve_core) holds several
+    [Hp, Hp, tb] intermediates live, hence the smaller tiles."""
+    return TB_SS if Hp <= 32 else 128
 
 
 def _resolve_k_cap(Hp: int, compact) -> int:
@@ -472,16 +485,18 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     (shared Gram); Psi: [H, H]; mus, pil_bar: [H]; s2inv scalar.
     Returns (lpj f32 [B, K], bad f32 [B, K]); bad flags states whose
     Psi_s solve was non-finite (reference sssc.py:279-283 pinv-fallback
-    counter).  Requires B % 1024 == 0 (= TB; the suffstat kernel needs
-    B % 512 — gate with pallas_sssc_applicable, which checks both).
+    counter).  Requires B to divide into lane tiles (1024 at Hp <= 32,
+    256 at Hp <= 64; the suffstat kernel needs 512/128 — gate with
+    pallas_sssc_applicable, which checks both).
     compact: None = auto (active-set compaction when Hp >= 32, with the
     exact full-Hp fallback per tile); True/False forces it on/off.
     """
     B, K, H = ss.shape
     Hp = max(8, _next_pow2(H))
     K_cap = _resolve_k_cap(Hp, compact)
-    assert B % TB == 0, (B, TB)
-    J = B // TB
+    tb = _tb_lpj(Hp)
+    assert B % tb == 0, (B, tb)
+    J = B // tb
     G_, Psi_, mus_, pil_ = _prep_model(G, Psi, mus, pil_bar, H, Hp)
     # Q[(i,j), k] = Psi[i,k] G[k,j]: hoists the per-state Psi_s G_ss
     # product onto one MXU matmul against the state bits
@@ -499,21 +514,21 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     in_specs = [
         pl.BlockSpec((1, 1), lambda j, k: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((H, TB), lambda j, k: (0, k * J + j)),
-        pl.BlockSpec((H, TB), lambda j, k: (0, j)),
-        pl.BlockSpec((1, TB), lambda j, k: (0, j)),
+        pl.BlockSpec((H, tb), lambda j, k: (0, k * J + j)),
+        pl.BlockSpec((H, tb), lambda j, k: (0, j)),
+        pl.BlockSpec((1, tb), lambda j, k: (0, j)),
         pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp * Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
     ]
-    scratch = [pltpu.VMEM((Hp, Hp, TB), jnp.float32)]
+    scratch = [pltpu.VMEM((Hp, Hp, tb), jnp.float32)]
     if K_cap:
         # strictly-lower-triangular ones for the prefix-popcount matmul
         inputs.append(jnp.tril(jnp.ones((Hp, Hp), jnp.float32), k=-1))
         in_specs.append(pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)))
-        scratch.append(pltpu.VMEM((K_cap, K_cap, TB), jnp.float32))
+        scratch.append(pltpu.VMEM((K_cap, K_cap, tb), jnp.float32))
 
     lpj_kb, bad_kb = pl.pallas_call(
         _make_lpj_kernel(Hp, H, K_cap),
@@ -526,8 +541,8 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
             grid=(J, K),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
-                pl.BlockSpec((1, TB), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((1, tb), lambda j, k: (0, k * J + j)),
+                pl.BlockSpec((1, tb), lambda j, k: (0, k * J + j)),
             ),
             scratch_shapes=scratch,
         ),
@@ -692,8 +707,9 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
     B, S, H = ss.shape
     Hp = max(8, _next_pow2(H))
     K_cap = _resolve_k_cap(Hp, compact)
-    assert B % TB_SS == 0, (B, TB_SS)
-    J = B // TB_SS
+    tb = _tb_ss(Hp)
+    assert B % tb == 0, (B, tb)
+    J = B // tb
     G_, Psi_, mus_, _pil = _prep_model(G, Psi, mus, jnp.zeros_like(mus),
                                        H, Hp)
     sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
@@ -707,9 +723,9 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
     in_specs = [
         pl.BlockSpec((1, 1), lambda j, k: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((H, TB_SS), lambda j, k: (0, k * J + j)),
-        pl.BlockSpec((1, TB_SS), lambda j, k: (0, k * J + j)),
-        pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
+        pl.BlockSpec((H, tb), lambda j, k: (0, k * J + j)),
+        pl.BlockSpec((1, tb), lambda j, k: (0, k * J + j)),
+        pl.BlockSpec((H, tb), lambda j, k: (0, j)),
         pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
@@ -718,7 +734,7 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
     if K_cap:
         inputs.append(jnp.tril(jnp.ones((Hp, Hp), jnp.float32), k=-1))
         in_specs.append(pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)))
-        scratch = [pltpu.VMEM((Hp, TB_SS), jnp.float32),  # kappaT
+        scratch = [pltpu.VMEM((Hp, tb), jnp.float32),  # kappaT
                    pltpu.VMEM((Hp, Hp), jnp.float32)]  # lam_r
 
     out = pl.pallas_call(
@@ -736,8 +752,8 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
             grid=(J, S),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
-                pl.BlockSpec((H, TB_SS), lambda j, k: (0, j)),
+                pl.BlockSpec((H, tb), lambda j, k: (0, j)),
+                pl.BlockSpec((H, tb), lambda j, k: (0, j)),
                 pl.BlockSpec((H, H), lambda j, k: (0, 0)),
                 pl.BlockSpec((H, H), lambda j, k: (0, 0)),
                 pl.BlockSpec((H, H), lambda j, k: (0, 0)),
@@ -754,13 +770,14 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
 
 def pallas_sssc_applicable(B: int, K: int, H: int) -> bool:
     """Kernel envelope: TPU, complete data (callers gate), lane-tileable
-    batch, pow2-padded H small enough for the VMEM-resident recursion."""
+    batch, pow2-padded H small enough for the VMEM-resident recursion.
+    The per-Hp tile sizes (_tb_lpj/_tb_ss) keep the [Hp, Hp, tb] f32
+    working set constant (~17 MB estimate at every Hp; real peak lower
+    because Mosaic fuses the mask/add chains into the scratch store), so
+    the envelope is Hp <= 64 — beyond that the lane tiles would drop
+    under the 128-lane VPU width."""
     if jax.default_backend() not in ("tpu",):
         return False
     Hp = max(8, _next_pow2(H))
-    # a few live [Hp, Hp, TB] f32 arrays (LU scratch, MXU T_mat, masks);
-    # measured to fit at Hp=32, TB=1024 (~17 MB estimate, real peak lower
-    # because Mosaic fuses the mask/add chains into the scratch store)
-    vmem = 4 * Hp * Hp * TB * 4
-    return (Hp <= 64 and B % TB == 0 and B % TB_SS == 0 and K >= 1
-            and vmem <= 24 * 2**20)
+    return (Hp <= 64 and B % _tb_lpj(Hp) == 0 and B % _tb_ss(Hp) == 0
+            and K >= 1)

@@ -220,3 +220,48 @@ def test_lpj_kernel_flags_bad_solves():
     # flagged rows carry the NaN sentinel, never +-inf (an unflagged
     # 1/pivot blow-up may legitimately saturate, per the assertion above)
     assert not np.isinf(lpjv[flagged]).any()
+
+
+@pytest.mark.parametrize("H,K", [(40, 2), (64, 2)])
+def test_lpj_kernel_hp64_envelope(H, K):
+    """H in (32, 64] pads to Hp=64 and runs smaller lane tiles
+    (_tb_lpj=256) with K_cap=16 compaction; p=0.15 at these H gives a mix
+    of tiles above and below the K_cap popcount bound, so both the
+    compact and full-Hp branches execute."""
+    B = 256  # one Hp=64 lane tile
+    p = _problem(B, K, H, D=9, p=0.15)
+    lpj_o = _oracle(p)[0]
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(p["ss"]), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True)
+    assert float(bad.sum()) == 0
+    np.testing.assert_allclose(np.asarray(lpj_k), np.asarray(lpj_o),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_suffstat_kernel_hp64_envelope():
+    H, S, B = 40, 2, 128  # one Hp=64 suffstat tile (_tb_ss=128)
+    p = _problem(B, S, H, D=11, seed=3, p=0.15)
+    _, _, kappa_o, lam_o = _oracle(p)
+    rs = jnp.asarray(p["rs"])
+    sf = jnp.asarray(p["ss"], jnp.float32)
+    want = dict(
+        xpt_sz=jnp.einsum("bs,bsh->bh", rs, kappa_o),
+        xpt_s=jnp.einsum("bs,bsh->bh", rs, sf),
+        xpt_ss=jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf),
+        xpt_szsz=jnp.einsum("bs,bshj->hj", rs, lam_o)
+        + jnp.einsum("bs,bsh,bsj->hj", rs, kappa_o, kappa_o),
+    )
+    want["s_sz"] = jnp.einsum("bh,bk->hk", want["xpt_s"], want["xpt_sz"])
+    want["sz_sz"] = jnp.einsum("bh,bk->hk", want["xpt_sz"], want["xpt_sz"])
+    out = sssc_suffstat_pallas(
+        jnp.asarray(p["ss"]), rs, jnp.asarray(p["Wty"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        p["s2inv"], interpret=True)
+    names = ["xpt_sz", "xpt_s", "xpt_ss", "xpt_szsz", "s_sz", "sz_sz"]
+    for name, got in zip(names, out):
+        ref = np.asarray(want[name])
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(got) / scale, ref / scale,
+                                   atol=4e-5, err_msg=name)
