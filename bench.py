@@ -142,9 +142,6 @@ def main():
           file=sys.stderr)
     lpj_evals = N * (S + N_PARENTS * N_CHILDREN * N_GENERATIONS)
     baseline_s = load_baseline()
-    # print the primary metric BEFORE the optional secondary block: if the
-    # secondary run hangs on a wedged tunnel, the completed primary
-    # measurement must not be thrown away with it
     result = {
         "metric": "bsc_em_epoch_time_N102k_H256_S64",
         "value": epoch_s,
@@ -154,14 +151,17 @@ def main():
         "baseline_s": baseline_s,
         "device": str(dev),
     }
-    print(json.dumps(result), flush=True)
-    # secondary metric (stderr only; driver consumes the single stdout line):
-    # SSSC epoch at denoising scale
+    # secondary headline: ES3C (SSSC) epoch at the PARITY.md scale N=65k,
+    # H=32, S=20 — embedded in the SAME single stdout JSON line so the
+    # driver's parse captures both headline numbers (round-3 verdict item
+    # 8).  Guarded: any secondary failure must not discard the primary.
     try:
         from evo_tpu.models.sssc import SSSC
 
-        Hs, Ss, Ds, NBs, Bs = 32, 20, 25, 4, 4096
-        Ns = NBs * Bs
+        print("secondary: building SSSC N=65k benchmark (primary metric "
+              "already measured; JSON follows the secondary)", file=sys.stderr)
+        Hs, Ss, Ds, NBs, Bs = 32, 20, 25, 16, 4096
+        Ns = NBs * Bs  # 65536
         Ys = (rng.random((Ns, Hs)) <= 2 / Hs).astype(np.float32) @ \
             rng.standard_normal((Ds, Hs)).astype(np.float32).T \
             + rng.standard_normal((Ns, Ds)).astype(np.float32)
@@ -185,10 +185,22 @@ def main():
             sp, se, sstats, _ = smodel.em_step(sp, se, sdata,
                                                jax.random.key(1 + e), scfg)
         float(sstats.F)  # value readback = reliable completion barrier
-        print(f"secondary: sssc_em_epoch_time_N16k_H32_S20 = "
-              f"{(time.time()-t0)/5:.3f}s", file=sys.stderr)
+        sssc_epoch_s = (time.time() - t0) / 5
+        # reference SSSC baseline at this exact config (N=65k, H=32, S=20):
+        # 151 s/epoch measured on this machine (PARITY.md "Performance")
+        sssc_baseline_s = 151.0
+        print(f"secondary: sssc_em_epoch_time_N65k_H32_S20 = "
+              f"{sssc_epoch_s:.3f}s", file=sys.stderr)
+        result["secondary"] = {
+            "metric": "sssc_em_epoch_time_N65k_H32_S20",
+            "value": sssc_epoch_s,
+            "unit": "s",
+            "vs_baseline": sssc_baseline_s / sssc_epoch_s,
+            "baseline_s": sssc_baseline_s,
+        }
     except Exception as e:  # never break the primary metric
         print(f"secondary sssc metric failed: {e}", file=sys.stderr)
+    print(json.dumps(result), flush=True)
 
 
 def _supervise() -> int:
