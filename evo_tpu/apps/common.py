@@ -115,7 +115,9 @@ def experiment_parser(no_epochs=40):
     p.add_argument("--chunk_epochs", type=int, default=1,
                    help="Fuse X epochs into one device dispatch "
                         "(models.base.em_steps; bit-identical trajectory). "
-                        "Viz/Theta logging then happens at chunk ends; big "
+                        "Viz/Theta logging then happens at chunk ends, and "
+                        "Theta tables switch to overwrite mode (only the "
+                        "latest parameters are kept in training.h5); big "
                         "win when per-epoch device time is small vs the "
                         "dispatch latency")
     return p
@@ -180,6 +182,16 @@ def chunking_kwargs(args, theta_append: bool = True,
     auto_overwrite=False and let EMTrainer reject the conflict loudly."""
     chunk = max(1, int(getattr(args, "chunk_epochs", 1)))
     if chunk > 1 and theta_append and auto_overwrite:
+        import warnings
+
+        # a real warning, not just a stdout note: users who rely on the
+        # default per-epoch Theta history in training.h5 lose it here, and
+        # post-hoc analysis needs to be able to tell it was intentional
+        warnings.warn(
+            f"chunk_epochs={chunk} switches Theta logging to overwrite "
+            "mode: training.h5 will hold only the LATEST parameters, not "
+            "the per-epoch history the default (chunk_epochs=1) records",
+            stacklevel=2)
         print(f"chunk_epochs={chunk}: Theta tables in overwrite mode")
         theta_append = False
     return dict(chunk_epochs=chunk, theta_append=theta_append)

@@ -68,7 +68,8 @@ class EMTrainer:
             tracing.set_tracefile(tracefile)
         if resume:
             self.params, self.estate, self.start_epoch, self.key = load_checkpoint(
-                resume, params_like=self.params
+                resume, params_like=self.params,
+                cfg=self.cfg, model=self.model, data=self.data,
             )
             print(f"Resumed from {resume} at epoch {self.start_epoch}")
 
@@ -108,7 +109,8 @@ class EMTrainer:
             return
         tracing.tracepoint("checkpoint:begin")
         path = os.path.join(self.outdir, "checkpoint.npz")
-        save_checkpoint(path, self.params, self.estate, epoch, self.key)
+        save_checkpoint(path, self.params, self.estate, epoch, self.key,
+                        cfg=self.cfg, model=self.model, data=self.data)
         tracing.tracepoint("checkpoint:end")
         print(f"\tcheckpoint -> {path}")
 
@@ -166,6 +168,18 @@ class EMTrainer:
     def run(self, no_epochs: int,
             reconstruct_at: Optional[Callable[[int], bool]] = None,
             epoch_callback: Optional[Callable] = None):
+        """Train for no_epochs (minus any resumed epochs).
+
+        epoch_callback contract: called as
+        ``epoch_callback(epoch=, F=, params=, stats=, y_rec=)`` after a
+        logged epoch.  With chunk_epochs == 1 it fires every epoch with
+        consecutive ``epoch`` values.  With chunk_epochs > 1 it fires only
+        at CHUNK ENDS: ``epoch`` jumps by the chunk length and ``y_rec``
+        is None for fused epochs (reconstruction epochs always run solo
+        and fire normally).  Callbacks that assume consecutive epoch
+        values or need intermediate parameters must run unchunked; the
+        per-epoch F/S_* metrics of fused epochs are still logged to the
+        DataLog from the stacked stats."""
         stats = None
         if self.start_epoch >= no_epochs:
             # resuming a checkpoint written at (or beyond) the final epoch:

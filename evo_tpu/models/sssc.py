@@ -362,12 +362,19 @@ class SSSC:
             # forcing the kernel must not silently fall back to XLA (the
             # BSC path raises in the same situation) — a user forcing it
             # to measure/debug would attribute XLA numbers to the kernel
+            from evo_tpu.ops.linalg import _next_pow2
+            from evo_tpu.ops.pallas_sssc import _tb_lpj, _tb_ss
+
+            Hp = max(8, _next_pow2(self.H))
             raise ValueError(
                 f"lpj_kernel='{self.lpj_kernel}' is not applicable here "
                 f"(incomplete={data.incomplete}, dtype={dt}, "
                 f"packed_states={cfg.packed_states}, B={B}, H={self.H}; "
-                "the kernel needs complete f32 unpacked data, B % 1024 == 0 "
-                "and pow2-padded H <= 64); use lpj_kernel='auto'"
+                "the kernel needs a TPU backend, complete f32 unpacked "
+                f"data, pow2-padded H <= 128 and, at H={self.H} "
+                f"(Hp={Hp}), B % {_tb_lpj(Hp)} == 0 and "
+                f"B % {_tb_ss(Hp)} == 0 — see pallas_sssc_applicable); "
+                "use lpj_kernel='auto'"
             )
 
         def estep_block(keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis):

