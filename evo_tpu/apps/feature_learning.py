@@ -59,7 +59,14 @@ def run(args) -> dict:
     print(f"{N} patches of dimension {D}")
 
     model = {"bsc": BSC, "sssc": SSSC}[args.model](D=D, H=args.H)
-    data = make_data(Y, n_blocks=args.n_blocks)
+    # on TPU, pad the batch to a lane-tileable multiple so the fused Pallas
+    # kernels apply (row_valid masks the padding out of every statistic) —
+    # same policy as the image apps; without it the reference-default
+    # N=2000 patch set ran the einsum path even where kernels existed
+    import jax as _jax
+
+    pad_multiple = 1024 if _jax.default_backend() == "tpu" else 1
+    data = make_data(Y, n_blocks=args.n_blocks, pad_multiple=pad_multiple)
     params = model.standard_init(data, seed=args.seed, y_host=Y)
     dlog.append_all({f"{k}_init": v for k, v in params_to_dict(params).items()})
 

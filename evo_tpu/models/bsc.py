@@ -354,12 +354,6 @@ class BSC:
                     "lpj_kernel='pallas' does not support incomplete data "
                     "(the per-datapoint Gram does not fit VMEM); use 'auto'"
                 )
-            if self.H % 32 != 0:
-                raise ValueError(
-                    f"lpj_kernel='pallas' requires H % 32 == 0 (got H="
-                    f"{self.H}: the fused dedup-key emission packs 32 "
-                    "latents per word); use 'auto'"
-                )
         params = self.check_params(params)
         pre = self._precompute(params, data)
         nb, B = data.y.shape[:2]
@@ -384,7 +378,9 @@ class BSC:
             and pallas_lpj_applicable(B, cfg.S, self.H, data.incomplete)
             and (cfg.exact
                  or pallas_lpj_applicable(B, C, self.H, data.incomplete))
-            and self.H % 8 == 0
+            # the packed kernels unpack exactly 8*ceil(H/8) lanes in VMEM
+            # and skip the wrapper's lane padding, so packed needs aligned H
+            and self.H % 32 == 0
         )
         def block_fn(acc, xs):
             y_b, xinf_b, x_b, valid_b, ss_b, keys_b = xs

@@ -99,7 +99,9 @@ def bsc_suffstat_pallas(ss, rs, H: int = None, block_rows: int = 64,
 
 def pallas_suffstat_applicable(B: int, S: int, H: int,
                                block_rows: int = 64) -> bool:
-    """Same profitability envelope as the lpj kernel: TPU, lane-aligned H,
+    """Same profitability envelope as the lpj kernel: TPU, H >= 32 (this
+    kernel needs no lane alignment at all — Mosaic pads internally; the
+    floor only keeps tiny-Gram problems on the cheap einsum path),
     VMEM-sized tiles.  Mask-independent (works for incomplete data too)."""
     if jax.default_backend() not in ("tpu",):
         return False
@@ -107,6 +109,6 @@ def pallas_suffstat_applicable(B: int, S: int, H: int,
     vmem = block_rows * S * H * (4 + 4 + 1) + 2 * H * H * 4
     return (
         B % block_rows == 0
-        and H % 128 == 0
+        and H >= 32
         and vmem < 12 * 2**20
     )

@@ -28,11 +28,74 @@ def test_pallas_lpj_matches_xla(rng):
                                rtol=1e-4, atol=1e-3)
 
 
-def test_pallas_gating():
+def test_pallas_gating(monkeypatch):
     # CPU backend: never auto-selected
     assert not pallas_lpj_applicable(4096, 64, 256, incomplete=False)
     # incomplete data: never
     assert not pallas_lpj_applicable(4096, 64, 256, incomplete=True)
+
+    # pure-logic part of the gate, with the backend check satisfied: the
+    # reference-default configs EBSC H=32 (image apps) and H=100
+    # (feature-learning) must pass once the batch is lane-padded
+    from evo_tpu.ops import pallas_lpj, pallas_suffstat
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pallas_lpj.pallas_lpj_applicable(4096, 20, 32, incomplete=False)
+    assert pallas_lpj.pallas_lpj_applicable(2048, 15, 100, incomplete=False)
+    assert pallas_suffstat.pallas_suffstat_applicable(4096, 20, 32)
+    assert pallas_suffstat.pallas_suffstat_applicable(2048, 15, 100)
+    # unpadded feature-learning batch (N=2000): still gated off
+    assert not pallas_lpj.pallas_lpj_applicable(2000, 15, 100,
+                                                incomplete=False)
+    # tiny-Gram problems stay on the einsum path
+    assert not pallas_lpj.pallas_lpj_applicable(4096, 20, 8, incomplete=False)
+
+
+def test_pallas_lpj_lane_padded_H_matches_xla(rng):
+    """H not a multiple of 128 (the reference defaults H=32 and H=100):
+    the wrapper lane-pads to a multiple of 32; lpj must match the einsum
+    oracle and emitted keys must match ops.bitpack.dedup_keys bit-for-bit
+    (exact-words regime for H <= 64, hashed for H = 100 where the
+    canonical hash covers 2*ceil(H/32) halfwords incl. the zero pad)."""
+    from evo_tpu.ops.bitpack import dedup_keys
+
+    for H in (32, 40, 100):
+        B, K = 128, 10
+        ss = jnp.asarray(rng.random((B, K, H)) < 0.2, jnp.int8)
+        W = rng.standard_normal((H, H)).astype(np.float32)
+        G = jnp.asarray(W.T @ W)
+        Wty = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+        y2 = jnp.asarray((rng.standard_normal(B).astype(np.float32)) ** 2 * 9)
+        pre1, pil = jnp.float32(-0.4), jnp.float32(-1.5)
+        got, keys = bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil,
+                                   interpret=True, emit_keys=True)
+        want = jax.vmap(lambda s, w, yy: BSC._lpj_one(s, G, w, yy, pre1, pil))(
+            ss, Wty, y2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(keys),
+                                      np.asarray(dedup_keys(ss)))
+
+
+def test_pallas_suffstat_unaligned_H_matches_einsum(rng):
+    from evo_tpu.ops.pallas_suffstat import bsc_suffstat_pallas
+
+    B, S, H = 128, 12, 100
+    ss_bool = rng.random((B, S, H)) < 0.2
+    rs = jnp.asarray(rng.random((B, S)).astype(np.float32))
+    sf = jnp.asarray(ss_bool, jnp.float32)
+    rho, sabs, Wq = bsc_suffstat_pallas(jnp.asarray(ss_bool, jnp.int8), rs,
+                                        H=H, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(rho), np.asarray(jnp.einsum("bs,bsh->bh", rs, sf)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sabs),
+                                  np.asarray(jnp.sum(sf, axis=-1)))
+    np.testing.assert_allclose(
+        np.asarray(Wq),
+        np.asarray(jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf,
+                              precision=jax.lax.Precision.HIGHEST)),
+        rtol=1e-4, atol=1e-3)
 
 
 def test_pallas_lpj_emit_keys_matches_dedup_keys(rng):
