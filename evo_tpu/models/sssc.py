@@ -60,6 +60,15 @@ EPS_PIES = 5e-5
 EPS_PSI = 1e-5
 EPS_SIGMA2 = 1e-5
 
+# XLA-path sufficient-statistics strategy: at H <= this, the candidate
+# solves are STASHED ([B, K_all, H, H] kappa/lambda through HBM) and the
+# merged set's statistics gathered from the stash; above it, the stash
+# (~2 GB/epoch at H=100, K_all~50) costs far more HBM traffic than
+# re-solving the S merged states in a second pass, so the merged set is
+# RE-SOLVED via a scan over slots that never materializes more than one
+# [B, H, H] lambda block.  Tests monkeypatch this to force either path.
+STASH_MAX_H = 64
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -377,16 +386,21 @@ class SSSC:
                 "use lpj_kernel='auto'"
             )
 
+        # re-solve (scan over slots) vs stash for the XLA path — see
+        # STASH_MAX_H; the kernel path always re-solves (in VMEM)
+        resolve_merged = (not use_kernel) and self.H > STASH_MAX_H
+
         def estep_block(keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis):
             """Block-level evolutionary E-step (mirrors BSC._estep_block):
             the K-state and per-generation children evaluations run as one
-            batched call each.  On the XLA path, the slab quantities
-            (kappa, lambda) that fall out of the candidate solves are
-            stashed in call order — exactly the candidate order of
-            vary_Kn's concat(old, children) — so the EM step reuses the
-            solves for the sufficient statistics.  On the Pallas path the
-            stash is skipped (the suffstat kernel re-solves the merged set
-            in VMEM, which is cheaper than materializing the stash)."""
+            batched call each.  On the XLA path at H <= STASH_MAX_H, the
+            slab quantities (kappa, lambda) that fall out of the candidate
+            solves are stashed in call order — exactly the candidate order
+            of vary_Kn's concat(old, children) — so the EM step reuses the
+            solves for the sufficient statistics.  At larger H (and always
+            on the Pallas path) the stash is skipped and the merged set
+            re-solved: the [B, K_all, H, H] stash costs more HBM traffic
+            than the S extra solves (the kernels re-solve in VMEM)."""
             B = ss_b.shape[0]
             kappa_stash, lam_stash = [], []
 
@@ -403,8 +417,9 @@ class SSSC:
                     in_axes=(0, g_axis, 0, 0, None, None, None, None),
                 )(states_b, G_b, Wty_b, y2_b, Psi, mus, s2inv, pre["pil_bar"])
                 lpj, counts = reset_lpj(lpj, valid=valid_b)
-                kappa_stash.append(kappa)
-                lam_stash.append(lam_m)
+                if not resolve_merged:
+                    kappa_stash.append(kappa)
+                    lam_stash.append(lam_m)
                 return lpj, None, (counts, jnp.sum(bad, dtype=jnp.int32))
 
             lpj_K, _, aux0 = lpj_block(ss_b)
@@ -441,7 +456,7 @@ class SSSC:
             counts = jax.tree.map(lambda *xs: sum(xs),
                                   *[a[0] for a in all_aux])
             n_bad = sum(a[1] for a in all_aux)
-            if use_kernel:
+            if use_kernel or resolve_merged:
                 kappa_all = lam_all = None
             else:
                 kappa_all = jnp.concatenate(kappa_stash, axis=1)  # [B,K_all,H]
@@ -474,6 +489,37 @@ class SSSC:
                  s_sz_hh, sz_sz_hh) = sssc_suffstat_pallas(
                     ss2, rs, Wty_b, G_b, Psi, mus, s2inv,
                     compact=kernel_compact)
+            elif kappa_all is None:
+                # ---- expectations re-solved for the merged K^(n), one slot
+                # at a time (H > STASH_MAX_H): the scan keeps at most one
+                # [B, H, H] lambda block alive instead of the [B, K_all, H,
+                # H] stash the small-H path gathers from
+                sf = ss2.astype(dt)
+                xpt_s = jnp.einsum("bs,bsh->bh", rs, sf)  # [B,H]
+                xpt_ss_hh = jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf)
+
+                def slot_fn(carry, xs_s):
+                    ss_s, rs_s = xs_s  # [B, H] int8, [B]
+                    _l, _b, kap, lam_m = jax.vmap(
+                        self._lpj_states,
+                        in_axes=(0, g_axis, 0, 0, None, None, None, None),
+                    )(ss_s[:, None, :], G_b, Wty_b, y2_b, Psi, mus, s2inv,
+                      pre["pil_bar"])
+                    kap, lam_m = kap[:, 0], lam_m[:, 0]  # [B,H], [B,H,H]
+                    xpt_sz_c = carry[0] + rs_s[:, None] * kap
+                    szsz_c = (carry[1]
+                              + jnp.einsum("b,bhj->hj", rs_s, lam_m)
+                              + jnp.einsum("b,bh,bj->hj", rs_s, kap, kap))
+                    return (xpt_sz_c, szsz_c), None
+
+                (xpt_sz, xpt_szsz_hh), _ = jax.lax.scan(
+                    slot_fn,
+                    (jnp.zeros((ss2.shape[0], self.H), dt),
+                     jnp.zeros((self.H, self.H), dt)),
+                    (jnp.swapaxes(ss2, 0, 1), rs.T),
+                )
+                s_sz_hh = jnp.einsum("bh,bk->hk", xpt_s, xpt_sz)
+                sz_sz_hh = jnp.einsum("bh,bk->hk", xpt_sz, xpt_sz)
             else:
                 sf = ss2.astype(dt)
                 # ---- expectations from the candidate-evaluation solves:

@@ -248,3 +248,50 @@ def test_sssc_em_steps_matches_host_loop():
     np.testing.assert_array_equal(np.asarray(p_s.W), np.asarray(p_h.W))
     np.testing.assert_array_equal(np.asarray(p_s.Psi), np.asarray(p_h.Psi))
     np.testing.assert_array_equal(np.asarray(s_s.lpj), np.asarray(s_h.lpj))
+
+
+def test_sssc_resolve_merged_matches_stash(monkeypatch):
+    """The big-H suffstat strategy (re-solve the merged K^(n) via a scan
+    over slots, no [B, K_all, H, H] kappa/lambda stash) must reproduce the
+    stash path: same merged states/lpj bit-for-bit, same parameters up to
+    f32 summation-order rounding.  Covers complete data and the
+    incomplete-data + reconstruction path (g_axis=0)."""
+    import evo_tpu.models.sssc as sssc_mod
+
+    H, N, D, S = 6, 96, 9, 8
+    model = SSSC(D=D, H=H, lpj_kernel="xla")
+    rng = np.random.default_rng(5)
+    for incomplete in (False, True):
+        Y = rng.normal(size=(N, D)) + 2.0
+        if incomplete:
+            Y[::3, :2] = np.nan
+        data = make_data(Y, n_blocks=2)
+        cfg, estate = init_states(N=N, S=S, H=H, no_parents=4, no_children=2,
+                                  no_generations=2, n_blocks=2, seed=3)
+        params = model.standard_init(data, seed=2)
+        key = jax.random.key(11)
+        reco = bool(incomplete)
+
+        outs = []
+        for max_h in (H, 0):  # stash path, then forced resolve path
+            monkeypatch.setattr(sssc_mod, "STASH_MAX_H", max_h)
+            jax.clear_caches()  # em_step's jit cache ignores the module knob
+            outs.append(model.em_step(params, estate, data, key, cfg,
+                                      do_reconstruction=reco))
+        (p_a, e_a, st_a, yr_a), (p_b, e_b, st_b, yr_b) = outs
+
+        np.testing.assert_array_equal(np.asarray(e_a.ss), np.asarray(e_b.ss))
+        np.testing.assert_array_equal(np.asarray(e_a.lpj),
+                                      np.asarray(e_b.lpj))
+        np.testing.assert_array_equal(float(st_a.F), float(st_b.F))
+        np.testing.assert_allclose(np.asarray(p_a.W), np.asarray(p_b.W),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p_a.Psi), np.asarray(p_b.Psi),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p_a.mus), np.asarray(p_b.mus),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(float(p_a.sigma2), float(p_b.sigma2),
+                                   rtol=1e-5)
+        if reco:
+            np.testing.assert_allclose(np.asarray(yr_a), np.asarray(yr_b),
+                                       rtol=1e-4, atol=1e-5)
