@@ -88,11 +88,13 @@ class SSSC:
     H: int
     to_learn: Tuple[str, ...] = ("W", "pies", "mus", "sigma2", "Psi")
     # "auto": use the fused Pallas slab-solve kernels when profitable
-    # (TPU, f32, complete data, tileable shapes); "xla" | "pallas".
-    # The kernels compact each state's active units into a K_cap block
-    # (the reference's |s|^3 insight, sssc.py:268-318) with an exact
-    # full-H fallback per tile; "pallas_full" forces the kernels WITHOUT
-    # compaction (A/B measurement, debugging).
+    # (TPU, f32, complete data, tileable shapes, H <= 128); "xla" |
+    # "pallas".  The kernels compact each state's active units into a
+    # K_cap block (the reference's |s|^3 insight, sssc.py:268-318) with
+    # an exact full-H fallback per tile at Hp <= 64, and popcount
+    # BUCKETS (Hp/16 then Hp/8, no full-Hp path) at Hp in (64, 128];
+    # "pallas_full" forces the kernels WITHOUT compaction (A/B
+    # measurement, debugging; unavailable at Hp > 64).
     lpj_kernel: str = "auto"
 
     # ------------------------------------------------------------------ init

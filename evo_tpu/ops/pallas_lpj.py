@@ -138,8 +138,8 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
         G = jnp.pad(G, ((0, Hp - H), (0, Hp - H)))
         H = Hp
         Win = ss.shape[2]
-    assert B % block_rows == 0, (B, block_rows)
-    bb = block_rows
+    bb = _resolve_block_rows(block_rows, B, K, emit_keys)
+    assert B % bb == 0, (B, bb)
     grid = (B // bb,)
     scal = jnp.stack([pre1, pil_bar]).astype(jnp.float32).reshape(1, 2)
     W16 = H // 16 if emit_keys else 0
@@ -186,6 +186,22 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
     return out
 
 
+def _resolve_block_rows(block_rows: int, B: int, K: int,
+                        emit_keys: bool) -> int:
+    """With emit_keys, the transposed halfword output block is
+    (W16, bb*K) and Mosaic requires the last block dim to be a multiple
+    of 128 (or the full array dim) — bb*K = 64*15 = 960 at the reference
+    feature-learning S=15 is not.  Doubling bb until bb*K % 128 == 0
+    restores lowering for every K (worst case bb = 128, since
+    128*K % 128 == 0); B stays divisible because callers pad B to 1024
+    multiples."""
+    bb = block_rows
+    if emit_keys:
+        while (bb * K) % 128 != 0 and bb < B:
+            bb *= 2
+    return bb
+
+
 def pallas_lpj_applicable(B: int, K: int, H: int, incomplete: bool,
                           block_rows: int = 64) -> bool:
     """The kernel pays off for MXU-sized complete-data problems.  H is
@@ -199,9 +215,13 @@ def pallas_lpj_applicable(B: int, K: int, H: int, incomplete: bool,
     if jax.default_backend() not in ("tpu",):
         return False
     Hp = max(32, -(-H // 32) * 32)
-    vmem = block_rows * K * Hp * (4 + 4 + 1) + Hp * Hp * 4
+    # assume emit_keys (the E-step path always emits dedup keys): bb may
+    # be bumped so the transposed keys block stays 128-lane aligned
+    bb = _resolve_block_rows(block_rows, B, K, emit_keys=True)
+    vmem = bb * K * Hp * (4 + 4 + 1) + Hp * Hp * 4
     return (
-        B % block_rows == 0
+        B % bb == 0
+        and (bb * K) % 128 == 0
         and H >= 32
         and K >= 2
         and vmem < 12 * 2**20

@@ -316,11 +316,29 @@ def _tile_all_sparse(sT, K_cap):
     return jnp.max(jnp.sum(sT, axis=0)) <= jnp.float32(K_cap)
 
 
-def _make_lpj_kernel(Hp: int, H: int, K_cap: int = 0):
+def _make_lpj_kernel(Hp: int, H: int, K_cap: int = 0, K_cap2: int = 0):
+    """Three modes (see the module docstring):
+      K_cap = 0            — full-Hp solves only (small Hp).
+      K_cap > 0, K_cap2 = 0 — compaction at K_cap with the exact full-Hp
+                              fallback per tile (Hp <= 64; measured path).
+      K_cap2 > 0           — POPCOUNT BUCKETS, no full-Hp path (Hp > 64):
+                              tiles whose densest state fits K_cap run the
+                              small bucket, the rest run K_cap2 with
+                              per-state overflow masking (|s| > K_cap2 ->
+                              NaN lpj + bad flag -> reset_lpj floor).
+                              Dropping the full path is what frees the
+                              VMEM for full-width lanes at Hp = 128: no
+                              [Hp, Hp, tb] scratch, no [Hp*Hp, Hp] Q."""
+    bucketed = K_cap2 > 0
     compact = K_cap > 0
 
     def _kernel(*refs):
-        if compact:
+        if bucketed:
+            (scal_ref, ss_ref, wty_ref, y2_ref, G_ref, psi_ref,
+             mus_ref, pil_ref, L_ref, lpj_ref, bad_ref, Ac_scr,
+             Ac2_scr) = refs
+            Q_ref = A_scr = None
+        elif compact:
             (scal_ref, ss_ref, wty_ref, y2_ref, G_ref, Q_ref, psi_ref,
              mus_ref, pil_ref, L_ref, lpj_ref, bad_ref, A_scr,
              Ac_scr) = refs
@@ -392,6 +410,39 @@ def _make_lpj_kernel(Hp: int, H: int, K_cap: int = 0):
             ldMP, lam_u, bad = _lu_logdet_solve(A_scr, Pu, Hp)
             _emit(ldMP, lam_u, bad)
 
+        def _compact_path(K, Ac_ref, mask_overflow):
+            # compact the active units of M' into the top-left K block —
+            # WITHOUT materializing T_mat: since
+            # T_mat[i, j] = sum_k Psi[i, k] s_k G[k, j] and P already
+            # carries the state mask (P = onehot .* s),
+            #   (P T_mat P^T)[c, d] = sum_k s_k PPsi[c][k] PG[d][k]
+            # where PPsi[c] = P[c]-row-gather of Psi and PG[d] = of G —
+            # both exact MXU gathers (_row_gather).  P (I) P^T =
+            # diag(rowvalid), so the identity part is added back
+            # explicitly (pad rows -> identity).  With mask_overflow, a
+            # state denser than K (whose tail units P cannot represent)
+            # gets the bad flag -> NaN lpj -> reset_lpj floor.
+            P, _rowvalid = _build_P(sT, L_ref[:], K)
+            iK = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            jK = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+            eyeK = (iK == jK).astype(jnp.float32)
+            PG = jnp.stack(
+                [_row_gather(G_ref[:], P[d], 1) for d in range(K)],
+                axis=0)  # [K, Hp, T]
+            # fold the s_k mask into the Psi side once
+            rows = [jnp.sum(PG * (sT * _row_gather(psi_ref[:], P[c], 0)
+                                  )[None, :, :], axis=1)
+                    for c in range(K)]  # each [K, T]
+            Ac_ref[:] = (s2inv * jnp.stack(rows, axis=0)
+                         + eyeK[:, :, None])
+            ldMP, x_c, bad = _lu_logdet_solve(
+                Ac_ref, _gather_vec(P, Pu), K)
+            if mask_overflow:
+                over = (jnp.sum(sT, axis=0) > jnp.float32(K)).astype(
+                    jnp.float32)
+                bad = jnp.maximum(bad, over)
+            _emit(ldMP, _scatter_vec(P, x_c), bad)
+
         if not compact:
             _full_path()
             return
@@ -400,36 +451,14 @@ def _make_lpj_kernel(Hp: int, H: int, K_cap: int = 0):
 
         @pl.when(tile_ok)
         def _():
-            # compact the active units of M' into the top-left K_cap
-            # block — WITHOUT materializing T_mat: since
-            # T_mat[i, j] = sum_k Psi[i, k] s_k G[k, j] and P already
-            # carries the state mask (P = onehot .* s),
-            #   (P T_mat P^T)[c, d] = sum_k s_k PPsi[c][k] PG[d][k]
-            # where PPsi[c] = P[c]-row-gather of Psi and PG[d] = of G —
-            # both exact MXU gathers (_row_gather).  P (I) P^T =
-            # diag(rowvalid), so the identity part is added back
-            # explicitly (pad rows -> identity).
-            P, _rowvalid = _build_P(sT, L_ref[:], K_cap)
-            iK = jax.lax.broadcasted_iota(jnp.int32, (K_cap, K_cap), 0)
-            jK = jax.lax.broadcasted_iota(jnp.int32, (K_cap, K_cap), 1)
-            eyeK = (iK == jK).astype(jnp.float32)
-            # fold the s_k mask into the Psi side once
-            PPsi = [sT * _row_gather(psi_ref[:], P[c], 0)
-                    for c in range(K_cap)]
-            PG = jnp.stack(
-                [_row_gather(G_ref[:], P[d], 1) for d in range(K_cap)],
-                axis=0)  # [K_cap, Hp, T]
-            rows = [jnp.sum(PG * PPsi[c][None, :, :], axis=1)
-                    for c in range(K_cap)]  # each [K_cap, T]
-            Ac_scr[:] = (s2inv * jnp.stack(rows, axis=0)
-                         + eyeK[:, :, None])
-            ldMP, x_c, bad = _lu_logdet_solve(
-                Ac_scr, _gather_vec(P, Pu), K_cap)
-            _emit(ldMP, _scatter_vec(P, x_c), bad)
+            _compact_path(K_cap, Ac_scr, False)
 
         @pl.when(jnp.logical_not(tile_ok))
         def _():
-            _full_path()
+            if bucketed:
+                _compact_path(K_cap2, Ac2_scr, True)
+            else:
+                _full_path()
 
     return _kernel
 
@@ -453,14 +482,35 @@ TB_SS = 512  # suffstat kernel tile at Hp <= 32 (Schur is VMEM-hungrier)
 def _tb_lpj(Hp: int) -> int:
     """Lanes per lpj tile: the [Hp, Hp, tb] f32 working set must fit the
     ~16 MB scoped-VMEM budget, so Hp = 64 quarters the tile (same
-    bytes/tile as Hp = 32 at TB = 1024)."""
-    return TB if Hp <= 32 else 256
+    bytes/tile as Hp = 32 at TB = 1024).  Hp > 64 drops the full-Hp path
+    entirely (popcount buckets), so its working set is the [K2, Hp, tb]
+    projection triple — but BOTH buckets' projection sets live on the
+    Mosaic stack at once (the pl.when branches do not share their
+    allocations), so the tile drops to the 128-lane VPU width: measured
+    at Hp = 128/tb = 256/K2 = 32 the stack wanted 43.6 MB vs the 16 MB
+    scoped limit."""
+    return TB if Hp <= 32 else (256 if Hp <= 64 else 128)
 
 
 def _tb_ss(Hp: int) -> int:
-    """Suffstat tile: the full-path fallback (_solve_core) holds several
-    [Hp, Hp, tb] intermediates live, hence the smaller tiles."""
+    """Suffstat tile: at Hp <= 64 the full-path fallback (_solve_core)
+    holds several [Hp, Hp, tb] intermediates live, hence the smaller
+    tiles; Hp > 64 is bucket-only (working set [K2, Hp, tb])."""
     return TB_SS if Hp <= 32 else 128
+
+
+def _buckets(Hp: int):
+    """Popcount buckets for the Hp > 64 kernels: the small bucket handles
+    the common all-sparse tiles at K1^3 solve cost, the big bucket the
+    rare tiles with a denser state; |s| > K2 active units (vanishingly
+    improbable under sparse priors — the prior alone costs |s| * pil_bar,
+    and P(|s| > 16) ~ 1e-13 for Binomial(100, 2/100) states) is flagged
+    bad -> lpj floor, surfaced through StepStats counters.  Sizes are
+    VMEM-bound: each bucket keeps a [K, Hp, tb] projection triple
+    (P/PG/row temps) on the Mosaic stack and the branches' stacks
+    coexist, so (Hp/16, Hp/8) = (8, 16) at Hp = 128 is what fits the
+    16 MB scoped budget at full 128-lane tiles."""
+    return Hp // 16, Hp // 8
 
 
 def _resolve_k_cap(Hp: int, compact) -> int:
@@ -486,22 +536,26 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     Returns (lpj f32 [B, K], bad f32 [B, K]); bad flags states whose
     Psi_s solve was non-finite (reference sssc.py:279-283 pinv-fallback
     counter).  Requires B to divide into lane tiles (1024 at Hp <= 32,
-    256 at Hp <= 64; the suffstat kernel needs 512/128 — gate with
+    256 above; the suffstat kernel needs 512/128 — gate with
     pallas_sssc_applicable, which checks both).
     compact: None = auto (active-set compaction when Hp >= 32, with the
     exact full-Hp fallback per tile); True/False forces it on/off.
+    Hp > 64 is bucket-only compaction (see _buckets); compact=False is
+    unsupported there (there is no full-Hp path at that width).
     """
     B, K, H = ss.shape
     Hp = max(8, _next_pow2(H))
-    K_cap = _resolve_k_cap(Hp, compact)
+    bucketed = Hp > 64
+    if bucketed and compact is False:
+        raise ValueError(
+            f"compact=False is unsupported at H={H} (Hp={Hp} > 64): the "
+            "bucketed kernels have no full-Hp solve path")
+    K_cap, K_cap2 = _buckets(Hp) if bucketed \
+        else (_resolve_k_cap(Hp, compact), 0)
     tb = _tb_lpj(Hp)
     assert B % tb == 0, (B, tb)
     J = B // tb
     G_, Psi_, mus_, pil_ = _prep_model(G, Psi, mus, pil_bar, H, Hp)
-    # Q[(i,j), k] = Psi[i,k] G[k,j]: hoists the per-state Psi_s G_ss
-    # product onto one MXU matmul against the state bits
-    Q = (Psi_[:, None, :] * jnp.transpose(G_)[None, :, :]).reshape(
-        Hp * Hp, Hp)
     # k-major lane layout: column t = k*B + b
     sT_all = jnp.transpose(ss if ss.dtype == jnp.int8
                            else ss.astype(jnp.int8),
@@ -510,7 +564,7 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     y2r = y2.astype(jnp.float32).reshape(1, B)
     scal = jnp.asarray(s2inv, jnp.float32).reshape(1, 1)
 
-    inputs = [scal, sT_all, WtyT, y2r, G_, Q, Psi_, mus_, pil_]
+    inputs = [scal, sT_all, WtyT, y2r, G_, Psi_, mus_, pil_]
     in_specs = [
         pl.BlockSpec((1, 1), lambda j, k: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -518,20 +572,29 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
         pl.BlockSpec((H, tb), lambda j, k: (0, j)),
         pl.BlockSpec((1, tb), lambda j, k: (0, j)),
         pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
-        pl.BlockSpec((Hp * Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
         pl.BlockSpec((Hp, 1), lambda j, k: (0, 0)),
     ]
-    scratch = [pltpu.VMEM((Hp, Hp, tb), jnp.float32)]
+    scratch = []
+    if not bucketed:
+        # Q[(i,j), k] = Psi[i,k] G[k,j]: hoists the per-state Psi_s G_ss
+        # product onto one MXU matmul against the state bits (full path)
+        Q = (Psi_[:, None, :] * jnp.transpose(G_)[None, :, :]).reshape(
+            Hp * Hp, Hp)
+        inputs.insert(5, Q)
+        in_specs.insert(5, pl.BlockSpec((Hp * Hp, Hp), lambda j, k: (0, 0)))
+        scratch.append(pltpu.VMEM((Hp, Hp, tb), jnp.float32))
     if K_cap:
         # strictly-lower-triangular ones for the prefix-popcount matmul
         inputs.append(jnp.tril(jnp.ones((Hp, Hp), jnp.float32), k=-1))
         in_specs.append(pl.BlockSpec((Hp, Hp), lambda j, k: (0, 0)))
         scratch.append(pltpu.VMEM((K_cap, K_cap, tb), jnp.float32))
+    if K_cap2:
+        scratch.append(pltpu.VMEM((K_cap2, K_cap2, tb), jnp.float32))
 
     lpj_kb, bad_kb = pl.pallas_call(
-        _make_lpj_kernel(Hp, H, K_cap),
+        _make_lpj_kernel(Hp, H, K_cap, K_cap2),
         out_shape=(
             jax.ShapeDtypeStruct((1, K * B), jnp.float32),
             jax.ShapeDtypeStruct((1, K * B), jnp.float32),
@@ -553,7 +616,15 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     return lpj, bad
 
 
-def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0):
+def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0,
+                          K_cap2: int = 0):
+    """Modes as in _make_lpj_kernel: full-only / compact-with-fallback /
+    popcount buckets without the full-Hp path (K_cap2 > 0, Hp > 64).  In
+    bucket mode, states denser than K_cap2 contribute ZERO kappa and are
+    excluded from the lambda scatter — consistent with their lpj having
+    been floored at evaluation time (their responsibility is ~0; the lpj
+    kernel NaN-flags them)."""
+    bucketed = K_cap2 > 0
     compact = K_cap > 0
 
     def _kernel(*refs):
@@ -585,11 +656,10 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0):
             uT = sT * (WtyT - GaT)
             tile_ok = _tile_all_sparse(sT, K_cap)
 
-            @pl.when(tile_ok)
-            def _():
-                P, rowvalid = _build_P(sT, L_ref[:], K_cap)
+            def _compact_ss_path(K, mask_overflow):
+                P, rowvalid = _build_P(sT, L_ref[:], K)
                 Psi_c = (_compact_shared(P, psi_ref[:])
-                         + _eye3(K_cap, rowvalid))
+                         + _eye3(K, rowvalid))
                 Pinv_c, _ldP = _pd_inv_logdet(Psi_c)
                 G_c = _compact_shared(P, G_ref[:])
                 M_c = s2inv * G_c + Pinv_c  # pad rows: identity from Pinv_c
@@ -598,6 +668,12 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0):
                 lam_u = _scatter_vec(
                     P, jnp.sum(lam_c * u_c[None, :, :], axis=1))
                 kT = s2inv * lam_u + aT
+                rT_eff = rT
+                if mask_overflow:
+                    ok = (jnp.sum(sT, axis=0) <= jnp.float32(K)).astype(
+                        jnp.float32)  # [T]
+                    kT = kT * ok[None, :]
+                    rT_eff = rT * ok[None, :]
                 # sanitize non-finite solves (responsibility ~0 after lpj
                 # reset, but 0 * nan would poison the sums) — mirrors the
                 # XLA path's nan_to_num (models/sssc.py)
@@ -605,17 +681,24 @@ def _make_suffstat_kernel(Hp: int, H: int, S: int, K_cap: int = 0):
                 lam_c = jnp.where(jnp.isfinite(lam_c), lam_c, 0.0)
                 # r-weighted scatter off the active blocks, [Hp, Hp, T]
                 # never materialized
-                lamr_scr[:] = _scatter_weighted(P, lam_c, rT)
+                lamr_scr[:] = _scatter_weighted(P, lam_c, rT_eff)
+
+            @pl.when(tile_ok)
+            def _():
+                _compact_ss_path(K_cap, False)
 
             @pl.when(jnp.logical_not(tile_ok))
             def _():
-                lam, _, _, _, aT2, _, _, lam_u = _solve_core(
-                    sT, G_ref[:], psi_ref[:], mus, WtyT, s2inv)
-                kT = s2inv * lam_u + aT2
-                kap_scr[:] = jnp.where(jnp.isfinite(kT), kT, 0.0)
-                lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
-                lamm = lam * sT[:, None, :] * sT[None, :, :]
-                lamr_scr[:] = jnp.sum(lamm * rT[None], axis=2)
+                if bucketed:
+                    _compact_ss_path(K_cap2, True)
+                else:
+                    lam, _, _, _, aT2, _, _, lam_u = _solve_core(
+                        sT, G_ref[:], psi_ref[:], mus, WtyT, s2inv)
+                    kT = s2inv * lam_u + aT2
+                    kap_scr[:] = jnp.where(jnp.isfinite(kT), kT, 0.0)
+                    lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
+                    lamm = lam * sT[:, None, :] * sT[None, :, :]
+                    lamr_scr[:] = jnp.sum(lamm * rT[None], axis=2)
 
             kappaT = kap_scr[:]
             lam_r = lamr_scr[:]
@@ -706,7 +789,13 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
     summed over the batch."""
     B, S, H = ss.shape
     Hp = max(8, _next_pow2(H))
-    K_cap = _resolve_k_cap(Hp, compact)
+    bucketed = Hp > 64
+    if bucketed and compact is False:
+        raise ValueError(
+            f"compact=False is unsupported at H={H} (Hp={Hp} > 64): the "
+            "bucketed kernels have no full-Hp solve path")
+    K_cap, K_cap2 = _buckets(Hp) if bucketed \
+        else (_resolve_k_cap(Hp, compact), 0)
     tb = _tb_ss(Hp)
     assert B % tb == 0, (B, tb)
     J = B // tb
@@ -738,7 +827,7 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
                    pltpu.VMEM((Hp, Hp), jnp.float32)]  # lam_r
 
     out = pl.pallas_call(
-        _make_suffstat_kernel(Hp, H, S, K_cap),
+        _make_suffstat_kernel(Hp, H, S, K_cap, K_cap2),
         out_shape=(
             jax.ShapeDtypeStruct((H, B), jnp.float32),
             jax.ShapeDtypeStruct((H, B), jnp.float32),
@@ -770,14 +859,16 @@ def sssc_suffstat_pallas(ss, rs, Wty, G, Psi, mus, s2inv,
 
 def pallas_sssc_applicable(B: int, K: int, H: int) -> bool:
     """Kernel envelope: TPU, complete data (callers gate), lane-tileable
-    batch, pow2-padded H small enough for the VMEM-resident recursion.
-    The per-Hp tile sizes (_tb_lpj/_tb_ss) keep the [Hp, Hp, tb] f32
-    working set constant (~17 MB estimate at every Hp; real peak lower
-    because Mosaic fuses the mask/add chains into the scratch store), so
-    the envelope is Hp <= 64 — beyond that the lane tiles would drop
-    under the 128-lane VPU width."""
+    batch, pow2-padded H <= 128.  At Hp <= 64 the per-Hp tile sizes
+    (_tb_lpj/_tb_ss) keep the full-path [Hp, Hp, tb] f32 working set
+    constant; at Hp in (64, 128] the kernels are popcount-bucketed with
+    NO full-Hp path (see _buckets) — dropping the [Hp, Hp, tb] scratch
+    and [Hp*Hp, Hp] Q input is what keeps full-width lane tiles, the
+    round-3 VERDICT's prescribed design.  Beyond Hp = 128 even the
+    bucket working set ([K2, Hp, tb] triple at K2 = Hp/8) outgrows
+    VMEM."""
     if jax.default_backend() not in ("tpu",):
         return False
     Hp = max(8, _next_pow2(H))
-    return (Hp <= 64 and B % _tb_lpj(Hp) == 0 and B % _tb_ss(Hp) == 0
+    return (Hp <= 128 and B % _tb_lpj(Hp) == 0 and B % _tb_ss(Hp) == 0
             and K >= 1)

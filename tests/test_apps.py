@@ -35,6 +35,7 @@ def test_bars_app_ebsc(tmp_path):
     assert os.path.exists(os.path.join(out["outdir"], "training.h5"))
 
 
+@pytest.mark.slow
 def test_bars_app_es3c(tmp_path):
     from evo_tpu.apps import bars
 
@@ -45,6 +46,7 @@ def test_bars_app_es3c(tmp_path):
     assert np.isfinite(out["F"])
 
 
+@pytest.mark.slow
 def test_denoising_app_improves_psnr(tmp_path):
     from evo_tpu.apps.images import run_denoising, synthetic_image
     from evo_tpu.prepost import psnr
@@ -64,6 +66,7 @@ def test_denoising_app_improves_psnr(tmp_path):
     assert out["psnr"] > psnr_noisy + 1.0, (out["psnr"], psnr_noisy)
 
 
+@pytest.mark.slow
 def test_inpainting_app_fills_missing(tmp_path):
     from evo_tpu.apps.images import run_inpainting
 
@@ -78,6 +81,7 @@ def test_inpainting_app_fills_missing(tmp_path):
     assert np.isfinite(out["rec"]).all()
 
 
+@pytest.mark.slow
 def test_inpainting_rgb_per_channel_missing(tmp_path):
     """RGB inpainting with per-CHANNEL missingness — the reference draws
     MCAR over the full [H, W, C] shape (image-inpainting/main.py:83), so a
@@ -135,6 +139,7 @@ def _bars_args(**over):
     return base
 
 
+@pytest.mark.slow
 def test_bars_app_checkpoint_resume(tmp_path):
     from evo_tpu.apps import bars
 
@@ -152,6 +157,7 @@ def test_bars_app_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(out2["F"], out3["F"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_theta_assign_vs_append_modes(tmp_path):
     """--save_theta_all_epochs toggles append vs assign (overwrite) for the
     Theta tables (reference image-denoising/main.py:55-61): without it the
@@ -244,6 +250,7 @@ def test_trainer_resume_at_final_epoch_returns_stats(tmp_path):
     assert abs(out2["F"] - out1["F"]) < 1.5, (out2["F"], out1["F"])
 
 
+@pytest.mark.slow
 def test_feature_learning_app_sssc(tmp_path):
     """The feature-learning driver's SSSC branch (reference
     feature-learning/main.py supports both models via --model)."""
@@ -259,6 +266,7 @@ def test_feature_learning_app_sssc(tmp_path):
     assert np.isfinite(out["F"])
 
 
+@pytest.mark.slow
 def test_chunk_epochs_matches_per_epoch_run(tmp_path):
     """--chunk_epochs fuses host-invisible epochs through em_steps: the
     final F/params must EQUAL the per-epoch run (bit-identical schedule),
@@ -295,6 +303,7 @@ def test_chunk_epochs_matches_per_epoch_run(tmp_path):
     np.testing.assert_array_equal(ck_ref["params/W"], ck_chk["params/W"])
 
 
+@pytest.mark.slow
 def test_chunk_epochs_with_reconstruction_boundaries(tmp_path):
     """Chunking must step reconstruction epochs solo (the host consumes
     y_rec for patch merging) and still produce the identical trajectory and

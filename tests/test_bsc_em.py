@@ -96,6 +96,7 @@ def test_em_step_runs_and_improves_quickly():
     assert np.isfinite(Fs).all()
 
 
+@pytest.mark.slow
 def test_em_step_block_invariance():
     """Blocking must not change the result (same RNG per datapoint requires
     same flat ordering, so compare F after one epoch with identical keys)."""
@@ -138,6 +139,7 @@ def test_exact_estep_mode_monotone():
     np.testing.assert_allclose(float(stats.F), F_exact_before, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_overcomplete_degenerate_fit_stays_finite():
     """H >= D lets BSC interpolate exactly (sigma -> 0, the MLE is
     degenerate); the data-RMS sigma floor must keep lpj representable and
@@ -194,6 +196,7 @@ def test_sigma_floor_guard_fires_and_surfaces():
     np.testing.assert_allclose(float(params.sigma), 1e-3 * rms, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_em_steps_matches_host_loop():
     """The fused multi-epoch scan driver (models.base.em_steps) must
     reproduce the canonical host loop bit-for-bit — same fold_in(key, e)

@@ -33,6 +33,7 @@ def test_compat_bsc_reference_driver_pattern():
     assert sorted(theta) >= ["W", "pi", "pies", "sigma"]
 
 
+@pytest.mark.slow
 def test_compat_sssc_with_reconstruction():
     H, S, N, D = 4, 8, 60, 9
     rng = np.random.default_rng(0)
@@ -122,6 +123,7 @@ def test_incomplete_without_reconstruction_raises():
             model.em_step(params, estate, data, _jax.random.key(0), cfg)
 
 
+@pytest.mark.slow
 def test_compat_n_blocks_threads_into_data():
     """Regression: compat.init_states accepted n_blocks but _get_data always
     built single-block Data, so any n_blocks > 1 estate could never match

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -178,6 +179,7 @@ def test_vary_kn_swap_matches_topk_as_set(rng):
         assert np.array_equal(np.asarray(b_ss), cat[np.asarray(b_idx)])
 
 
+@pytest.mark.slow
 def test_swap_merge_epoch_equivalence_bsc_and_sssc(rng):
     """EAConfig.swap_merge only changes the ROW ORDER of the merged K^(n);
     one em_step's F and M-step parameters are order-invariant reductions, so
@@ -335,6 +337,7 @@ def test_whole_set_em_step_runs_and_counts(rng):
     assert float(stats.S_sub) == float(stats.S_nunique)
 
 
+@pytest.mark.slow
 def test_evolve_states_block_equals_vmapped_per_datapoint(rng):
     """evolve_states_block must be numerically identical to
     vmap(evolve_states) — same per-datapoint RNG stream, same dedup

@@ -164,3 +164,31 @@ def test_pallas_suffstat_matches_einsum(rng):
         np.testing.assert_array_equal(np.asarray(sabs), np.asarray(want_sabs))
         np.testing.assert_allclose(np.asarray(Wq), np.asarray(want_wq),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_lpj_odd_K_bumps_block_rows(rng):
+    """The reference feature-learning S=15 makes the transposed keys
+    block (W16, 64*15=960) violate Mosaic's 128-lane divisibility (seen
+    as a lowering error on real TPU at H=100/K=15).  The wrapper must
+    bump block_rows (64 -> 128 here, making bb*K = 1920) and stay
+    numerically identical; the gate must agree."""
+    from evo_tpu.ops.bitpack import dedup_keys
+    from evo_tpu.ops.pallas_lpj import _resolve_block_rows
+
+    H, B, K = 100, 128, 15
+    assert _resolve_block_rows(64, B, K, emit_keys=True) == 128
+    assert _resolve_block_rows(64, B, K, emit_keys=False) == 64
+    ss = jnp.asarray(rng.random((B, K, H)) < 0.2, jnp.int8)
+    W = rng.standard_normal((H, H)).astype(np.float32)
+    G = jnp.asarray(W.T @ W)
+    Wty = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    y2 = jnp.asarray((rng.standard_normal(B).astype(np.float32)) ** 2 * 9)
+    pre1, pil = jnp.float32(-0.4), jnp.float32(-1.5)
+    got, keys = bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil,
+                               interpret=True, emit_keys=True)
+    want = jax.vmap(lambda s, w, yy: BSC._lpj_one(s, G, w, yy, pre1, pil))(
+        ss, Wty, y2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(keys),
+                                  np.asarray(dedup_keys(ss)))

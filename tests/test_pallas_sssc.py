@@ -64,6 +64,7 @@ def test_lpj_kernel_matches_xla_path(H, K):
                                rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_suffstat_kernel_matches_einsum_expectations():
     H, S, B = 16, 4, 2 * TB_SS
     p = _problem(B, S, H, D=11, seed=1)
@@ -104,6 +105,7 @@ def _sparse_states(rng, B, K, H, max_active):
     return ss
 
 
+@pytest.mark.slow
 def test_lpj_compact_matches_full_and_oracle():
     """Active-set compaction (K_cap=8 at H=32) must be bit-comparable to
     the full-Hp path on sparse tiles AND route denser tiles through the
@@ -130,6 +132,7 @@ def test_lpj_compact_matches_full_and_oracle():
                                rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_suffstat_compact_matches_full():
     """Same equivalence for the suffstat kernel, with one tile of the
     merged set dense enough to take the fallback."""
@@ -223,6 +226,7 @@ def test_lpj_kernel_flags_bad_solves():
 
 
 @pytest.mark.parametrize("H,K", [(40, 2), (64, 2)])
+@pytest.mark.slow
 def test_lpj_kernel_hp64_envelope(H, K):
     """H in (32, 64] pads to Hp=64 and runs smaller lane tiles
     (_tb_lpj=256) with K_cap=16 compaction; p=0.15 at these H gives a mix
@@ -240,6 +244,7 @@ def test_lpj_kernel_hp64_envelope(H, K):
                                rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_suffstat_kernel_hp64_envelope():
     H, S, B = 40, 2, 128  # one Hp=64 suffstat tile (_tb_ss=128)
     p = _problem(B, S, H, D=11, seed=3, p=0.15)
@@ -265,3 +270,110 @@ def test_suffstat_kernel_hp64_envelope():
         scale = np.abs(ref).max() + 1e-6
         np.testing.assert_allclose(np.asarray(got) / scale, ref / scale,
                                    atol=4e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("H,K", [(100, 2), (128, 2)])
+@pytest.mark.slow
+def test_lpj_kernel_hp128_buckets(H, K):
+    """H in (64, 128] runs the popcount-bucketed kernels (no full-Hp
+    path): tiles with max |s| <= Hp/16 take the small bucket, denser
+    tiles the Hp/8 bucket.  States are drawn so both buckets execute."""
+    from evo_tpu.ops.pallas_sssc import _buckets, _tb_lpj
+
+    B = _tb_lpj(128) * 2  # two lane tiles
+    K1, K2 = _buckets(128)
+    rng = np.random.default_rng(7)
+    p = _problem(B, K, H, D=9, seed=7)
+    ss = _sparse_states(rng, B, K, H, max_active=K1 - 2)
+    ss[3, 1] = 0
+    ss[3, 1, :K1 + 4] = 1  # slot 1, tile 0: bucket-2 (K1 < |s| <= K2)
+    p["ss"] = ss
+    lpj_o = _oracle(p)[0]
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(ss), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True)
+    assert float(bad.sum()) == 0
+    np.testing.assert_allclose(np.asarray(lpj_k), np.asarray(lpj_o),
+                               rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_lpj_kernel_hp128_overflow_floors():
+    """A state denser than the big bucket (|s| > Hp/8) must come back
+    NaN + bad-flagged (-> reset_lpj floor), never silent garbage."""
+    from evo_tpu.ops.pallas_sssc import _buckets, _tb_lpj
+
+    H, K = 100, 2
+    B = _tb_lpj(128)
+    K1, K2 = _buckets(128)
+    rng = np.random.default_rng(8)
+    p = _problem(B, K, H, D=9, seed=8)
+    ss = _sparse_states(rng, B, K, H, max_active=4)
+    ss[5, 1] = 0
+    ss[5, 1, :K2 + 3] = 1  # |s| = K2+3 > K2: unrepresentable
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(ss), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True)
+    bad = np.asarray(bad)
+    lpj_k = np.asarray(lpj_k)
+    assert bad[5, 1] == 1 and np.isnan(lpj_k[5, 1])
+    # everything else in the overflow state's tile stays exact
+    p2 = dict(p); p2["ss"] = ss
+    lpj_o = np.asarray(_oracle(p2)[0])
+    mask = ~np.isnan(lpj_k)
+    np.testing.assert_allclose(lpj_k[mask], lpj_o[mask],
+                               rtol=2e-4, atol=2e-3)
+    assert bad.sum() == 1
+
+
+@pytest.mark.slow
+def test_suffstat_kernel_hp128_buckets():
+    """Suffstat bucketed kernels at H=100, with one tile dense enough for
+    bucket 2 and one overflow state (excluded from kappa/lambda, its
+    responsibility redistributed nowhere — consistent with its floored
+    lpj)."""
+    from evo_tpu.ops.pallas_sssc import _buckets, _tb_ss
+
+    H, S = 100, 3
+    B = _tb_ss(128) * 2
+    K1, K2 = _buckets(128)
+    rng = np.random.default_rng(9)
+    p = _problem(B, S, H, D=11, seed=9)
+    ss = _sparse_states(rng, B, S, H, max_active=K1 - 2)
+    ss[2, 1] = 0
+    ss[2, 1, :K1 + 6] = 1   # bucket-2 tile
+    ss[4, 2] = 0
+    ss[4, 2, :K2 + 5] = 1   # overflow state
+    p["ss"] = ss
+    _, _, kappa_o, lam_o = _oracle(p)
+    rs_np = p["rs"].copy()
+    # the oracle analog of overflow handling: zero that state's kappa and
+    # its lambda weight
+    kappa_o = np.asarray(kappa_o).copy()
+    kappa_o[4, 2] = 0.0
+    rs_lam = rs_np.copy()
+    rs_lam[4, 2] = 0.0
+    rs = jnp.asarray(rs_np)
+    sf = jnp.asarray(ss, jnp.float32)
+    kap = jnp.asarray(kappa_o)
+    want = dict(
+        xpt_sz=jnp.einsum("bs,bsh->bh", rs, kap),
+        xpt_s=jnp.einsum("bs,bsh->bh", rs, sf),
+        xpt_ss=jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf),
+        xpt_szsz=jnp.einsum("bs,bshj->hj", jnp.asarray(rs_lam), lam_o)
+        + jnp.einsum("bs,bsh,bsj->hj", rs, kap, kap),
+    )
+    want["s_sz"] = jnp.einsum("bh,bk->hk", want["xpt_s"], want["xpt_sz"])
+    want["sz_sz"] = jnp.einsum("bh,bk->hk", want["xpt_sz"], want["xpt_sz"])
+    out = sssc_suffstat_pallas(
+        jnp.asarray(ss), rs, jnp.asarray(p["Wty"]),
+        jnp.asarray(p["G"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        p["s2inv"], interpret=True)
+    names = ["xpt_sz", "xpt_s", "xpt_ss", "xpt_szsz", "s_sz", "sz_sz"]
+    for name, got in zip(names, out):
+        ref = np.asarray(want[name])
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(got) / scale, ref / scale,
+                                   atol=5e-5, err_msg=name)

@@ -43,6 +43,7 @@ def test_allzero_exact_mode_matches_plain_exact():
     np.testing.assert_allclose(float(s0.F), float(s1.F), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_allzero_ea_mode_runs_and_never_inserts_zero_state():
     model, Y = _data(H=6)
     data = make_data(Y)
@@ -59,6 +60,7 @@ def test_allzero_ea_mode_runs_and_never_inserts_zero_state():
     assert ss.any(axis=1).all()
 
 
+@pytest.mark.slow
 def test_background_unit_always_on():
     """background=True forces the last latent unit ON in every state
     (reference eas.py:215-219, utils.py:97-98) and pins pies[-1]
@@ -79,6 +81,7 @@ def test_background_unit_always_on():
     np.testing.assert_allclose(float(params.pies[-1]), 1.0 - 1.1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mutation", ["randflip", "sparseflip", "cross",
                                       "cross_randflip", "cross_sparseflip"])
 @pytest.mark.parametrize("selection", ["fit", "rand"])

@@ -214,6 +214,7 @@ def test_sssc_dying_unit_guards_fire_and_surface():
     assert np.isfinite(float(p2.mus[H - 1]))
 
 
+@pytest.mark.slow
 def test_sssc_em_steps_matches_host_loop():
     """models.base.em_steps must reproduce the SSSC host loop bit-for-bit
     (BSC counterpart: test_bsc_em.py::test_em_steps_matches_host_loop)."""
@@ -250,6 +251,7 @@ def test_sssc_em_steps_matches_host_loop():
     np.testing.assert_array_equal(np.asarray(s_s.lpj), np.asarray(s_h.lpj))
 
 
+@pytest.mark.slow
 def test_sssc_resolve_merged_matches_stash(monkeypatch):
     """The big-H suffstat strategy (re-solve the merged K^(n) via a scan
     over slots, no [B, K_all, H, H] kappa/lambda stash) must reproduce the
