@@ -200,6 +200,57 @@ def main():
         }
     except Exception as e:  # never break the primary metric
         print(f"secondary sssc metric failed: {e}", file=sys.stderr)
+    # third headline: ES3C at the reference's feature-learning DEFAULT
+    # config (H=100, S=15 — feature-learning/params.py:30-43), the round-4
+    # bucketed-kernel envelope (ops/pallas_sssc.py Hp=128).  Baseline from
+    # BASELINE_CONFIGS.json (reference measured at N=250, linear-in-N).
+    try:
+        from evo_tpu.models.sssc import SSSC
+
+        print("tertiary: building SSSC H=100 (feature-learning default) "
+              "benchmark", file=sys.stderr)
+        Hf, Sf, Df, Nf = 100, 15, 64, 2048
+        zf = 1.0 + 0.3 * rng.standard_normal((Nf, Hf)).astype(np.float32)
+        Yf = ((rng.random((Nf, Hf)) <= 2 / Hf) * zf).astype(np.float32) @ \
+            rng.standard_normal((Df, Hf)).astype(np.float32).T \
+            + rng.standard_normal((Nf, Df)).astype(np.float32)
+        fmodel = SSSC(D=Df, H=Hf)
+        fdata = make_data(Yf, n_blocks=1)
+        fcfg, festate = init_states(N=Nf, S=Sf, H=Hf, no_parents=5,
+                                    no_children=2, no_generations=1,
+                                    n_blocks=1, seed=0)
+        fparams = fmodel.standard_init(fdata, seed=0, y_host=Yf)
+        fp, fe = fparams, festate
+        for e in range(4):  # compile + 3 warm epochs
+            fp, fe, fstats0, _ = fmodel.em_step(fp, fe, fdata,
+                                                jax.random.key(200 + e), fcfg)
+        float(fstats0.F)
+        t0 = time.time()
+        for e in range(10):
+            fp, fe, fstats, _ = fmodel.em_step(fp, fe, fdata,
+                                               jax.random.key(11 + e), fcfg)
+        float(fstats.F)  # value readback = reliable completion barrier
+        fl_epoch_s = (time.time() - t0) / 10
+        fl_baseline_s = None
+        try:
+            _here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(_here, "BASELINE_CONFIGS.json")) as f:
+                fl_baseline_s = json.load(f)[
+                    "es3c_fl_H100_N2000_s_per_epoch"]
+        except Exception:
+            pass
+        print(f"tertiary: sssc_em_epoch_time_N2048_H100_S15 = "
+              f"{fl_epoch_s:.4f}s", file=sys.stderr)
+        result["tertiary"] = {
+            "metric": "sssc_em_epoch_time_N2048_H100_S15",
+            "value": fl_epoch_s,
+            "unit": "s",
+            "vs_baseline": (fl_baseline_s / fl_epoch_s
+                            if fl_baseline_s else None),
+            "baseline_s": fl_baseline_s,
+        }
+    except Exception as e:  # never break the primary metric
+        print(f"tertiary sssc H=100 metric failed: {e}", file=sys.stderr)
     print(json.dumps(result), flush=True)
 
 

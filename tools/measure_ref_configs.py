@@ -27,7 +27,8 @@ sys.path.insert(0, _here)
 from measure_reference_baseline import install_mpi_stub  # noqa: E402
 
 
-def measure_bsc(N_measure, N_target, H, S, D, epochs=3):
+def measure_bsc(N_measure, N_target, H, S, D, epochs=3, parents=10,
+                children=1):
     from evo.models import BSC
     from evo.variational.utils import init_states
 
@@ -39,7 +40,8 @@ def measure_bsc(N_measure, N_target, H, S, D, epochs=3):
     my_data = {"y": data["y"],
                "x_infr": np.ones((N_measure, D), dtype=bool)}
     theta = model.check_params(model.standard_init(my_data))
-    my_suff_stat = init_states(N_measure, S, H, "fit", "randflip", 10, 1, 1)
+    my_suff_stat = init_states(N_measure, S, H, "fit", "randflip",
+                               parents, children, 1)
     times = []
     for e in range(epochs):
         t0 = time.time()
@@ -91,6 +93,13 @@ def main():
     s, raw = measure_sssc(N_measure=250, N_target=2000, H=100, S=15, D=64)
     out["es3c_fl_H100_N2000_s_per_epoch"] = s
     out["es3c_fl_H100_measured_at_N250"] = raw
+    print(f"  -> {s:.1f} s/epoch extrapolated", flush=True)
+
+    print("EBSC feature-learning (H=100, S=15, D=64, N=2000)...", flush=True)
+    s, raw = measure_bsc(N_measure=1000, N_target=2000, H=100, S=15, D=64,
+                         parents=5, children=2)
+    out["ebsc_fl_H100_N2000_s_per_epoch"] = s
+    out["ebsc_fl_H100_measured_at_N1000"] = raw
     print(f"  -> {s:.1f} s/epoch extrapolated", flush=True)
 
     path = os.path.join(os.path.dirname(_here), "BASELINE_CONFIGS.json")
