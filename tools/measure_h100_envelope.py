@@ -156,12 +156,11 @@ def xla_phase():
     N = 2048
     data, cfg, estate0, params0 = _sssc_setup(N, n_blocks=1)
 
-    results = {}
-    # --- XLA path: resolve (new default) then stash (A/B, item 6)
-    for tag, max_h in (("xla_resolve", 64), ("xla_stash", 128)):
-        sssc_mod.STASH_MAX_H = max_h
-        jax.clear_caches()
-        model = SSSC(D=D, H=H, lpj_kernel="xla")
+    def _peak_mib():
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("peak_bytes_in_use", -1) / 2**20
+
+    def _ab(tag, model):
         _p(f"compiling {tag} (H=100, slow — remote XLA compile)...")
         t0 = time.time()
         p, e, F1 = run_epochs(model, params0, estate0, data, cfg, 1,
@@ -170,18 +169,20 @@ def xla_phase():
         _p(f"{tag} compiled+first epoch in {compile_s:.0f}s, F={F1:.2f}")
         p, e, _ = run_epochs(model, p, e, data, cfg, 3, jax.random.key(2))
         dt, F = timed_epochs(model, p, e, data, cfg, jax.random.key(3), n=5)
-        peak = jax.local_devices()[0].memory_stats().get(
-            "peak_bytes_in_use", -1)
-        results[tag] = dt
         _p(f"SSSC H=100 N=2048 {tag}: {dt*1000:.1f} ms/epoch "
            f"(compile {compile_s:.0f}s, F={F:.2f}, "
-           f"peak_mem={peak/2**20:.0f} MiB)")
-    sssc_mod.STASH_MAX_H = 64
-    jax.clear_caches()
+           f"peak_mem={_peak_mib():.0f} MiB)")
+        return dt
+
+    results = {}
+    # --- XLA resolve path (the new H>64 default): A/B leg 1. Its compile
+    # is reused by the parity loop below (same model dataclass, no
+    # clear_caches in between), so the phase pays two slow compiles, not 3.
+    model_x = SSSC(D=D, H=H, lpj_kernel="xla")
+    results["xla_resolve"] = _ab("xla_resolve", model_x)
 
     # --- kernel-vs-XLA F parity over 5 epochs with shared keys
     model_k = SSSC(D=D, H=H, lpj_kernel="pallas")
-    model_x = SSSC(D=D, H=H, lpj_kernel="xla")
     Fks, Fxs = [], []
     pk, ek = params0, estate0
     px, ex = params0, estate0
@@ -197,6 +198,18 @@ def xla_phase():
     dt_k, Fk = timed_epochs(model_k, pk, ek, data, cfg, jax.random.key(9))
     _p(f"kernel re-timed: {dt_k*1000:.2f} ms/epoch "
        f"-> {results['xla_resolve']/dt_k:.1f}x over XLA-resolve")
+
+    # --- stash path (STASH_MAX_H raised past H): A/B leg 2 (VERDICT item 6)
+    sssc_mod.STASH_MAX_H = 128
+    jax.clear_caches()
+    try:
+        results["xla_stash"] = _ab("xla_stash",
+                                   SSSC(D=D, H=H, lpj_kernel="xla"))
+        _p(f"A/B: resolve {results['xla_resolve']*1000:.1f} ms vs "
+           f"stash {results['xla_stash']*1000:.1f} ms per epoch")
+    finally:
+        sssc_mod.STASH_MAX_H = 64
+        jax.clear_caches()
 
 
 def main():
