@@ -35,18 +35,27 @@ def run_epochs(logdir):
     from evo_tpu.variational.state_init import init_states
 
     rng = np.random.default_rng(0)
+    # config env overrides (e.g. NB=16 to trace the N=65k SSSC headline, or
+    # H=100 S=15 D=64 for the feature-learning-default bucketed kernels)
+    def _env(name, default):
+        return int(os.environ.get(name, default))
+
     if os.environ.get("MODEL", "bsc") == "sssc":
         from evo_tpu.models.sssc import SSSC
 
-        N_BLOCKS, B, H, S, D = 4, 4096, 32, 20, 25
+        N_BLOCKS, B = _env("NB", 4), _env("B", 4096)
+        H, S, D = _env("H", 32), _env("S", 20), _env("D", 25)
         N = N_BLOCKS * B
         model = SSSC(D=D, H=H)
     else:
         from evo_tpu.models.bsc import BSC
 
-        N_BLOCKS, B, H, S, D = 25, 4096, 256, 64, 256
+        N_BLOCKS, B = _env("NB", 25), _env("B", 4096)
+        H, S, D = _env("H", 256), _env("S", 64), _env("D", 256)
         N = N_BLOCKS * B
         model = BSC(D=D, H=H)
+    print(f"config: N={N_BLOCKS}x{B} H={H} S={S} D={D}",
+          file=sys.stderr, flush=True)
     W_gen = rng.standard_normal((D, H)).astype(np.float32)
     s_gen = rng.random((N, H)) <= 2.0 / H
     Y = (s_gen.astype(np.float32) @ W_gen.T
