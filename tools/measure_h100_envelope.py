@@ -12,12 +12,18 @@
   xla phase (slow compiles — run separately with a long timeout):
     SSSC H=100 XLA path: resolve (new default) vs stash A/B (VERDICT r3
     item 6: ms/epoch + device peak memory), and kernel-vs-XLA F parity
-    over 5 shared-key epochs.
+    over 5 shared-key epochs.  Splittable: `xla-resolve` runs the resolve
+    leg + the F-parity loop + the kernel re-time (ONE slow compile, the
+    headline numbers); `xla-stash` runs only the stash A/B leg (the other
+    slow compile); `xla` runs both.  Each slow compile ran >31 min on the
+    remote TPU compiler the one time it was attempted, so budget ~45 min
+    per leg and run them in separate processes.
 
 Run from the repo root (phases as argv, any subset/order):
 
     timeout 1700 python -u tools/measure_h100_envelope.py kernel bsc
-    timeout 3000 python -u tools/measure_h100_envelope.py xla
+    timeout 3000 python -u tools/measure_h100_envelope.py xla-resolve
+    timeout 3000 python -u tools/measure_h100_envelope.py xla-stash
 """
 import os
 import sys
@@ -146,11 +152,8 @@ def bsc_phase():
         _p(f"{tag}: {dt*1000:.2f} ms/epoch (N_padded={Np}, F={F:.2f})")
 
 
-def xla_phase():
+def _xla_setup():
     import jax
-
-    import evo_tpu.models.sssc as sssc_mod
-    from evo_tpu.models.sssc import SSSC
 
     H, D = 100, 64
     N = 2048
@@ -174,12 +177,22 @@ def xla_phase():
            f"peak_mem={_peak_mib():.0f} MiB)")
         return dt
 
-    results = {}
+    return (H, D), (data, cfg, estate0, params0), _ab
+
+
+def xla_resolve_phase():
+    """Resolve-path A/B leg + kernel-vs-XLA F parity (ONE slow compile)."""
+    import jax
+
+    from evo_tpu.models.sssc import SSSC
+
+    (H, D), (data, cfg, estate0, params0), _ab = _xla_setup()
+
     # --- XLA resolve path (the new H>64 default): A/B leg 1. Its compile
     # is reused by the parity loop below (same model dataclass, no
-    # clear_caches in between), so the phase pays two slow compiles, not 3.
+    # clear_caches in between), so the leg pays one slow compile.
     model_x = SSSC(D=D, H=H, lpj_kernel="xla")
-    results["xla_resolve"] = _ab("xla_resolve", model_x)
+    dt_x = _ab("xla_resolve", model_x)
 
     # --- kernel-vs-XLA F parity over 5 epochs with shared keys
     model_k = SSSC(D=D, H=H, lpj_kernel="pallas")
@@ -197,19 +210,32 @@ def xla_phase():
     pk, ek, _ = run_epochs(model_k, pk, ek, data, cfg, 3, jax.random.key(8))
     dt_k, Fk = timed_epochs(model_k, pk, ek, data, cfg, jax.random.key(9))
     _p(f"kernel re-timed: {dt_k*1000:.2f} ms/epoch "
-       f"-> {results['xla_resolve']/dt_k:.1f}x over XLA-resolve")
+       f"-> {dt_x/dt_k:.1f}x over XLA-resolve")
 
-    # --- stash path (STASH_MAX_H raised past H): A/B leg 2 (VERDICT item 6)
+
+def xla_stash_phase():
+    """Stash-path A/B leg (VERDICT item 6; the other slow compile)."""
+    import jax
+
+    import evo_tpu.models.sssc as sssc_mod
+    from evo_tpu.models.sssc import SSSC
+
+    (H, D), _, _ab = _xla_setup()
+
     sssc_mod.STASH_MAX_H = 128
     jax.clear_caches()
     try:
-        results["xla_stash"] = _ab("xla_stash",
-                                   SSSC(D=D, H=H, lpj_kernel="xla"))
-        _p(f"A/B: resolve {results['xla_resolve']*1000:.1f} ms vs "
-           f"stash {results['xla_stash']*1000:.1f} ms per epoch")
+        dt_s = _ab("xla_stash", SSSC(D=D, H=H, lpj_kernel="xla"))
+        _p(f"stash leg: {dt_s*1000:.1f} ms/epoch — compare against the "
+           "xla_resolve line from the xla-resolve run")
     finally:
         sssc_mod.STASH_MAX_H = 64
         jax.clear_caches()
+
+
+def xla_phase():
+    xla_resolve_phase()
+    xla_stash_phase()
 
 
 def main():
@@ -223,7 +249,8 @@ def main():
     from evo_tpu.apps.common import warm_d2h_async
     warm_d2h_async(verbose=True)
 
-    fns = {"kernel": kernel_phase, "bsc": bsc_phase, "xla": xla_phase}
+    fns = {"kernel": kernel_phase, "bsc": bsc_phase, "xla": xla_phase,
+           "xla-resolve": xla_resolve_phase, "xla-stash": xla_stash_phase}
     for ph in phases:
         try:
             fns[ph]()
