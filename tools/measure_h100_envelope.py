@@ -72,12 +72,19 @@ def timed_epochs(model, params, estate, data, cfg, key, n=10):
     return (time.time() - t0) / n, F
 
 
+# Env-tunable problem size (EVO_H100_{H,D,N}: smoke-test the phases on CPU
+# at a tiny H>64 before burning a slow TPU compile on the real config).
+_H = int(os.environ.get("EVO_H100_H", "100"))
+_D = int(os.environ.get("EVO_H100_D", "64"))
+_N = int(os.environ.get("EVO_H100_N", "2048"))
+
+
 def _sssc_setup(N, n_blocks, seed=0):
     from evo_tpu.models.base import make_data
     from evo_tpu.models.sssc import SSSC
     from evo_tpu.variational.state_init import init_states
 
-    H, D, S = 100, 64, 15
+    H, D, S = _H, _D, 15
     Y = make_sssc_problem(N, H, D, seed=seed)
     data = make_data(Y, n_blocks=n_blocks)
     cfg, estate = init_states(N=N, S=S, H=H, no_parents=5, no_children=2,
@@ -92,8 +99,8 @@ def kernel_phase():
     from evo_tpu.models.sssc import SSSC
     from evo_tpu.ops.pallas_sssc import pallas_sssc_applicable
 
-    H, D = 100, 64
-    N = 2048
+    H, D = _H, _D
+    N = _N
     _p("kernel phase: building N=2048 problem")
     data, cfg, estate0, params0 = _sssc_setup(N, n_blocks=1)
     assert pallas_sssc_applicable(N, 15, H), "kernel gate should cover H=100"
@@ -155,8 +162,8 @@ def bsc_phase():
 def _xla_setup():
     import jax
 
-    H, D = 100, 64
-    N = 2048
+    H, D = _H, _D
+    N = _N
     data, cfg, estate0, params0 = _sssc_setup(N, n_blocks=1)
 
     def _peak_mib():
@@ -164,7 +171,7 @@ def _xla_setup():
         return stats.get("peak_bytes_in_use", -1) / 2**20
 
     def _ab(tag, model):
-        _p(f"compiling {tag} (H=100, slow — remote XLA compile)...")
+        _p(f"compiling {tag} (H={H}, slow — remote XLA compile)...")
         t0 = time.time()
         p, e, F1 = run_epochs(model, params0, estate0, data, cfg, 1,
                               jax.random.key(1))
@@ -172,7 +179,7 @@ def _xla_setup():
         _p(f"{tag} compiled+first epoch in {compile_s:.0f}s, F={F1:.2f}")
         p, e, _ = run_epochs(model, p, e, data, cfg, 3, jax.random.key(2))
         dt, F = timed_epochs(model, p, e, data, cfg, jax.random.key(3), n=5)
-        _p(f"SSSC H=100 N=2048 {tag}: {dt*1000:.1f} ms/epoch "
+        _p(f"SSSC H={H} N={N} {tag}: {dt*1000:.1f} ms/epoch "
            f"(compile {compile_s:.0f}s, F={F:.2f}, "
            f"peak_mem={_peak_mib():.0f} MiB)")
         return dt
@@ -195,6 +202,13 @@ def xla_resolve_phase():
     dt_x = _ab("xla_resolve", model_x)
 
     # --- kernel-vs-XLA F parity over 5 epochs with shared keys
+    from evo_tpu.ops.pallas_sssc import pallas_sssc_applicable
+
+    B = data.y.shape[1]  # per-block batch, the kernel's tiling unit
+    if not pallas_sssc_applicable(B, cfg.S, H):
+        _p("pallas kernels not applicable on this backend/config — "
+           "skipping the F-parity sub-step (CPU smoke mode)")
+        return
     model_k = SSSC(D=D, H=H, lpj_kernel="pallas")
     Fks, Fxs = [], []
     pk, ek = params0, estate0
