@@ -235,8 +235,11 @@ def main():
         try:
             _here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(_here, "BASELINE_CONFIGS.json")) as f:
+                # baseline was measured at N=2000; the local run is the
+                # padded N=2048 — scale by 2048/2000 (reference epoch time
+                # is linear in N) so vs_baseline compares equal work.
                 fl_baseline_s = json.load(f)[
-                    "es3c_fl_H100_N2000_s_per_epoch"]
+                    "es3c_fl_H100_N2000_s_per_epoch"] * (Nf / 2000.0)
         except Exception:
             pass
         print(f"tertiary: sssc_em_epoch_time_N2048_H100_S15 = "

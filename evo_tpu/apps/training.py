@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from typing import Callable, Optional
 
 import numpy as np
@@ -40,6 +41,7 @@ class EMTrainer:
                  chunk_epochs: int = 1):
         self.model, self.cfg, self.data = model, cfg, data
         self.params, self.estate = params, estate
+        self._overflow_nan_streak, self._overflow_warned = 0, False
         self.dlog, self.outdir = dlog, outdir
         self.checkpoint_every = checkpoint_every
         self.theta_append = theta_append
@@ -95,9 +97,34 @@ class EMTrainer:
             v = int(getattr(stats, name))
             if v > 0:
                 print(f"\t{name} = {v}")
+        self._warn_bucket_overflow(int(stats.n_reset_nan))
         renorm = float(stats.guard_psi_renorm)
         if renorm > 0.1:  # only surface non-trivial gauge corrections
             print(f"\tguard_psi_renorm = {renorm:.3f}")
+
+    def _warn_bucket_overflow(self, n_reset_nan: int):
+        """At 64 < H <= 128 the bucketed SSSC kernels FLOOR (rather than
+        evaluate) states with > Hp/8 active units (ops/pallas_sssc.py
+        _buckets) — exact under sparse priors, lossy if pies drift dense.
+        Persistently nonzero nan-reset counters are the observable symptom;
+        warn once and point at the exact XLA path (MIGRATION.md item 7)."""
+        if n_reset_nan == 0:
+            self._overflow_nan_streak = 0
+            return
+        kernel = getattr(self.model, "lpj_kernel", "xla")
+        if (self._overflow_warned or kernel == "xla"
+                or getattr(self.model, "H", 0) <= 64):
+            return
+        self._overflow_nan_streak += 1
+        if self._overflow_nan_streak >= 3:
+            self._overflow_warned = True
+            warnings.warn(
+                f"n_reset_nan nonzero for {self._overflow_nan_streak} "
+                f"consecutive epochs at H={self.model.H} on the bucketed "
+                "kernel path — states denser than Hp/8 active units are "
+                "floored, not evaluated. If pies have drifted dense, use "
+                "lpj_kernel='xla' for exact evaluation (MIGRATION.md "
+                "item 7).", RuntimeWarning)
 
     def _maybe_checkpoint(self, epoch: int):
         """Write the resumable checkpoint if `epoch` is a boundary (shared

@@ -140,6 +140,10 @@ def bsc_lpj_pallas(ss, Wty, y2, G, pre1, pil_bar, block_rows: int = 64,
         Win = ss.shape[2]
     bb = _resolve_block_rows(block_rows, B, K, emit_keys)
     assert B % bb == 0, (B, bb)
+    assert not emit_keys or (bb * K) % 128 == 0, (
+        f"emit_keys needs a 128-multiple halfword block (bb*K = {bb}*{K}); "
+        "B is too small to grow bb — gate callers with "
+        "pallas_lpj_applicable (Mosaic lowering would fail opaquely)")
     grid = (B // bb,)
     scal = jnp.stack([pre1, pil_bar]).astype(jnp.float32).reshape(1, 2)
     W16 = H // 16 if emit_keys else 0

@@ -535,9 +535,9 @@ def sssc_lpj_pallas(ss, Wty, y2, G, Psi, mus, pil_bar, s2inv,
     (shared Gram); Psi: [H, H]; mus, pil_bar: [H]; s2inv scalar.
     Returns (lpj f32 [B, K], bad f32 [B, K]); bad flags states whose
     Psi_s solve was non-finite (reference sssc.py:279-283 pinv-fallback
-    counter).  Requires B to divide into lane tiles (1024 at Hp <= 32,
-    256 above; the suffstat kernel needs 512/128 — gate with
-    pallas_sssc_applicable, which checks both).
+    counter).  Requires B to divide into lane tiles (_tb_lpj: 1024 at
+    Hp <= 32, 256 at Hp <= 64, 128 above; the suffstat kernel's _tb_ss
+    is 512/128 — gate with pallas_sssc_applicable, which checks both).
     compact: None = auto (active-set compaction when Hp >= 32, with the
     exact full-Hp fallback per tile); True/False forces it on/off.
     Hp > 64 is bucket-only compaction (see _buckets); compact=False is

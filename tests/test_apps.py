@@ -322,3 +322,40 @@ def test_chunk_epochs_with_reconstruction_boundaries(tmp_path):
         output_directory=str(tmp_path / "b"))))
     np.testing.assert_array_equal(out_chk["F"], out_ref["F"])
     np.testing.assert_array_equal(out_chk["psnr"], out_ref["psnr"])
+
+
+def test_bucket_overflow_warning_streak():
+    """At 64 < H <= 128 on the kernel path, >=3 consecutive epochs with
+    nonzero n_reset_nan must raise the one-shot RuntimeWarning pointing at
+    the exact XLA path (MIGRATION.md item 7 semantic caveat)."""
+    import warnings
+
+    from evo_tpu.apps.training import EMTrainer
+    from evo_tpu.models.sssc import SSSC
+
+    tr = EMTrainer.__new__(EMTrainer)
+    tr._overflow_nan_streak, tr._overflow_warned = 0, False
+    tr.model = SSSC(D=16, H=100, lpj_kernel="pallas")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tr._warn_bucket_overflow(3)
+        tr._warn_bucket_overflow(0)   # streak resets
+        tr._warn_bucket_overflow(5)
+        tr._warn_bucket_overflow(5)
+    with pytest.warns(RuntimeWarning, match="bucketed"):
+        tr._warn_bucket_overflow(5)   # third consecutive -> warn
+    assert tr._overflow_warned
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tr._warn_bucket_overflow(5)   # one-shot: never again
+
+    # exact-XLA path and H <= 64 never warn
+    for model in (SSSC(D=16, H=100, lpj_kernel="xla"),
+                  SSSC(D=16, H=32, lpj_kernel="pallas")):
+        tr2 = EMTrainer.__new__(EMTrainer)
+        tr2._overflow_nan_streak, tr2._overflow_warned = 0, False
+        tr2.model = model
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            for _ in range(5):
+                tr2._warn_bucket_overflow(7)
