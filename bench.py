@@ -37,6 +37,24 @@ EPOCHS = 10
 # tools/measure_reference_baseline.py on this machine's CPU
 _DEFAULT_BASELINE_S = 264.75
 
+# v5e bf16 peak (TFLOP/s) for the absolute-utilization fields.  The flop
+# model is the Gram-form lpj contraction: 2*H^2 flops per candidate-state
+# evaluation — the algorithm's USEFUL flops, not the padded flops the
+# kernels actually issue (lane padding + fixed-shape masked duplicates do
+# more).  For SSSC it is a strict LOWER bound (each eval additionally pays
+# the slab solve), so pct_peak under-reports there.  Context: the BSC
+# north star measures ~13% of peak, and the device trace shows the
+# kernels at XLA's own matmul rate with state movement within ~1.5x of
+# the HBM floor — the residual gap is HBM-bandwidth- and
+# dependency-chain-bound, not MXU-idle (README "Performance").
+_V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _utilization(lpj_evals_per_s: float, H: int) -> dict:
+    tflops = lpj_evals_per_s * 2.0 * H * H / 1e12
+    return {"tflops": tflops,
+            "pct_peak": 100.0 * tflops / _V5E_BF16_PEAK_TFLOPS}
+
 
 def load_baseline():
     here = os.path.dirname(os.path.abspath(__file__))
@@ -150,6 +168,7 @@ def main():
         "lpj_evals_per_s": lpj_evals / epoch_s,
         "baseline_s": baseline_s,
         "device": str(dev),
+        **_utilization(lpj_evals / epoch_s, H),
     }
     # secondary headline: ES3C (SSSC) epoch at the PARITY.md scale N=65k,
     # H=32, S=20 — embedded in the SAME single stdout JSON line so the
@@ -191,12 +210,15 @@ def main():
         sssc_baseline_s = 151.0
         print(f"secondary: sssc_em_epoch_time_N65k_H32_S20 = "
               f"{sssc_epoch_s:.3f}s", file=sys.stderr)
+        s_evals_per_s = Ns * (Ss + 10) / sssc_epoch_s
         result["secondary"] = {
             "metric": "sssc_em_epoch_time_N65k_H32_S20",
             "value": sssc_epoch_s,
             "unit": "s",
             "vs_baseline": sssc_baseline_s / sssc_epoch_s,
             "baseline_s": sssc_baseline_s,
+            "lpj_evals_per_s": s_evals_per_s,
+            **_utilization(s_evals_per_s, Hs),
         }
     except Exception as e:  # never break the primary metric
         print(f"secondary sssc metric failed: {e}", file=sys.stderr)
@@ -244,6 +266,7 @@ def main():
             pass
         print(f"tertiary: sssc_em_epoch_time_N2048_H100_S15 = "
               f"{fl_epoch_s:.4f}s", file=sys.stderr)
+        f_evals_per_s = Nf * (Sf + 10) / fl_epoch_s
         result["tertiary"] = {
             "metric": "sssc_em_epoch_time_N2048_H100_S15",
             "value": fl_epoch_s,
@@ -251,6 +274,8 @@ def main():
             "vs_baseline": (fl_baseline_s / fl_epoch_s
                             if fl_baseline_s else None),
             "baseline_s": fl_baseline_s,
+            "lpj_evals_per_s": f_evals_per_s,
+            **_utilization(f_evals_per_s, Hf),
         }
     except Exception as e:  # never break the primary metric
         print(f"tertiary sssc H=100 metric failed: {e}", file=sys.stderr)
