@@ -149,12 +149,50 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
     merge_strategies = {"mean": mean_merger, "median": median_merger}
     last = {}
 
+    # Compact reconstruction readback (inpainting, single-process): the
+    # model's y_rec equals the OBSERVED data verbatim at observed entries
+    # (em_step: jnp.where(x, y, est)), so only the missing values need the
+    # device->host transfer — ~10x less d2h traffic at the default 10%
+    # missing (45 MB -> 4.5 MB per merge at full-res castle; the tunnel
+    # moves ~30 MB/s, so this takes the per-epoch readback off the epoch's
+    # critical path).  Bit-exact vs the full gather: the observed entries
+    # come from the identical host Y, the missing ones are the identical
+    # device floats.  Reference semantics unchanged
+    # (image-inpainting/main.py:172-176 gathers the full matrix only
+    # because MPI has no cheaper channel).
+    compact_reco = None
+    if (inpainting and _jax.process_count() == 1
+            and getattr(args, "compact_readback", True)):
+        import jax.numpy as _jnp
+
+        miss_nd = np.isnan(np.asarray(Y))  # [N, D] host missingness
+        flat_idx = np.flatnonzero(miss_nd.ravel()).astype(np.int32)
+        # observed entries exactly as the full gather would return them:
+        # the device stores f32(Y), so round-trip through f32 before the
+        # f64 dc re-add (bit-exact vs gather_reconstruction(y_rec) + dc)
+        base = np.where(miss_nd, 0.0,
+                        np.asarray(Y, np.float32).astype(np.float64) + dc)
+        dc_missing = np.broadcast_to(dc, miss_nd.shape).ravel()[flat_idx]
+        idx_dev = _jnp.asarray(flat_idx)
+
+        @_jax.jit
+        def _take_missing(y_rec):
+            flat = y_rec.reshape(-1)[: N * D]  # drop padding rows
+            return _jnp.take(flat, idx_dev)
+
+        def compact_reco(y_rec):
+            vals = np.asarray(_take_missing(y_rec), dtype=base.dtype)
+            out = base.copy()
+            out.ravel()[flat_idx] = vals + dc_missing
+            return out
+
     def epoch_callback(epoch, F, params, y_rec=None, **_):
         do_merge = y_rec is not None and (epoch == 1 or epoch % merge_every == 0
                                           or epoch == args.no_epochs)
         rec_img, psnr_val = None, None
         if do_merge:
-            Y_rec = gather_reconstruction(y_rec, N) + dc
+            Y_rec = (compact_reco(y_rec) if compact_reco is not None
+                     else gather_reconstruction(y_rec, N) + dc)
             for mname, merger in merge_strategies.items():
                 img = ovp.set_and_merge(Y_rec.T, merge_method=merger)
                 p = psnr(clean, img, data_range=255.0)

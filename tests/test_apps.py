@@ -359,3 +359,27 @@ def test_bucket_overflow_warning_streak():
             warnings.simplefilter("error")
             for _ in range(5):
                 tr2._warn_bucket_overflow(7)
+
+
+def test_inpainting_compact_readback_bit_exact(tmp_path):
+    """The compact missing-values-only reconstruction readback must produce
+    the identical PSNR trajectory and final image as the full [N, D]
+    gather (the observed entries are the host's own data; the missing ones
+    are the same device floats either way)."""
+    from evo_tpu.apps.images import run_inpainting
+
+    common = dict(algo="es3c", rescale=0.25, percentage_missing=0.15,
+                  patch_height=5, patch_width=None, H=16, merge_every=2,
+                  save_theta_all_epochs=False)
+    out_full = run_inpainting(_ns(
+        clean_image=str(tmp_path / "nonexistent.png"), compact_readback=False,
+        **common, **_common(no_epochs=4, Ksize=12, no_parents=6,
+                            output_directory=str(tmp_path / "full"))))
+    out_cmp = run_inpainting(_ns(
+        clean_image=str(tmp_path / "nonexistent.png"), compact_readback=True,
+        **common, **_common(no_epochs=4, Ksize=12, no_parents=6,
+                            output_directory=str(tmp_path / "cmp"))))
+    np.testing.assert_array_equal(out_cmp["F"], out_full["F"])
+    np.testing.assert_array_equal(np.asarray(out_cmp["psnr"]),
+                                  np.asarray(out_full["psnr"]))
+    np.testing.assert_array_equal(out_cmp["rec"], out_full["rec"])
