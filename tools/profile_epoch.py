@@ -40,13 +40,19 @@ def run_epochs(logdir):
     def _env(name, default):
         return int(os.environ.get(name, default))
 
+    # INCOMPLETE=<fraction> NaNs that fraction of entries (MCAR) and runs
+    # the masked/reconstruction path (sssc only) — traces the inpainting
+    # production config, e.g. MODEL=sssc NB=37 B=4096 D=75 INCOMPLETE=0.1.
+    miss_frac = float(os.environ.get("INCOMPLETE", "0"))
     if os.environ.get("MODEL", "bsc") == "sssc":
         from evo_tpu.models.sssc import SSSC
 
         N_BLOCKS, B = _env("NB", 4), _env("B", 4096)
         H, S, D = _env("H", 32), _env("S", 20), _env("D", 25)
         N = N_BLOCKS * B
-        model = SSSC(D=D, H=H)
+        to_learn = (("W", "pies", "sigma2") if miss_frac > 0
+                    else SSSC.to_learn)
+        model = SSSC(D=D, H=H, to_learn=to_learn)
     else:
         from evo_tpu.models.bsc import BSC
 
@@ -60,27 +66,32 @@ def run_epochs(logdir):
     s_gen = rng.random((N, H)) <= 2.0 / H
     Y = (s_gen.astype(np.float32) @ W_gen.T
          + rng.standard_normal((N, D)).astype(np.float32))
+    if miss_frac > 0:
+        Y[rng.random((N, D)) < miss_frac] = np.nan
     data = make_data(Y, n_blocks=N_BLOCKS)
     cfg, estate = init_states(N=N, S=S, H=H, no_parents=10, no_children=1,
                               no_generations=1, n_blocks=N_BLOCKS, seed=0)
     params = model.standard_init(data, seed=0, y_host=Y)
+    step = (lambda p, e, d, k, c: model.em_step(p, e, d, k, c,
+                                                do_reconstruction=True)) \
+        if data.incomplete else model.em_step
 
     key = jax.random.key(0)
     # compile + absorb the one-time post-compile runtime cost.  NOTE: end
     # every timed/traced window on a VALUE readback — block_until_ready can
     # silently stop blocking after tunnel restarts (CLAUDE.md), which both
     # corrupts the wall-clock number and truncates the profiler trace.
-    params, estate, stats, _ = model.em_step(params, estate, data, key, cfg)
+    params, estate, stats, _ = step(params, estate, data, key, cfg)
     print("compiled; waiting on first readback", file=sys.stderr, flush=True)
     float(stats.F)
     print("first readback done", file=sys.stderr, flush=True)
     for e in range(3):
-        params, estate, stats, _ = model.em_step(
+        params, estate, stats, _ = step(
             params, estate, data, jax.random.fold_in(key, e), cfg)
     float(stats.F)
     t0 = time.time()
     for e in range(10):
-        params, estate, stats, _ = model.em_step(
+        params, estate, stats, _ = step(
             params, estate, data, jax.random.fold_in(key, 100 + e), cfg)
     float(stats.F)
     print(f"pipelined: {(time.time()-t0)/10*1e3:.1f} ms/epoch",
@@ -88,7 +99,7 @@ def run_epochs(logdir):
 
     with jax.profiler.trace(logdir):
         for i in range(N_TRACE):
-            params, estate, stats, _ = model.em_step(
+            params, estate, stats, _ = step(
                 params, estate, data, jax.random.fold_in(key, 200 + i), cfg)
         float(stats.F)
 
