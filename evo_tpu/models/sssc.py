@@ -60,14 +60,20 @@ EPS_PIES = 5e-5
 EPS_PSI = 1e-5
 EPS_SIGMA2 = 1e-5
 
-# XLA-path sufficient-statistics strategy: at H <= this, the candidate
+# XLA-path sufficient-statistics strategy: by default the candidate
 # solves are STASHED ([B, K_all, H, H] kappa/lambda through HBM) and the
-# merged set's statistics gathered from the stash; above it, the stash
-# (~2 GB/epoch at H=100, K_all~50) costs far more HBM traffic than
-# re-solving the S merged states in a second pass, so the merged set is
-# RE-SOLVED via a scan over slots that never materializes more than one
-# [B, H, H] lambda block.  Tests monkeypatch this to force either path.
-STASH_MAX_H = 64
+# merged set's statistics gathered from the stash; the merged set is
+# RE-SOLVED instead (a scan over slots that never materializes more than
+# one [B, H, H] lambda block) only when the stash would not fit —
+# H > STASH_MAX_H or stash bytes > STASH_MAX_BYTES.  MEASURED both ways
+# at H=100 N=2048 (tools/measure_h100_envelope.py, 2026-08-19): stash
+# 2346.5 ms/epoch vs resolve 2590.6 on the v5e (1.10x), stash 20.1 s vs
+# resolve 27.6 on CPU at H=72 (1.37x) — the stash's ~2 GB HBM round trip
+# costs less than the S extra solves at every measured size, so resolve
+# is reserved for stashes that genuinely cannot fit.  Tests monkeypatch
+# STASH_MAX_H to force either path.
+STASH_MAX_H = 128
+STASH_MAX_BYTES = 4 << 30  # [B, K_all, H, H+1] f32 kappa+lambda stash cap
 
 
 @jax.tree_util.register_dataclass
@@ -389,20 +395,26 @@ class SSSC:
             )
 
         # re-solve (scan over slots) vs stash for the XLA path — see
-        # STASH_MAX_H; the kernel path always re-solves (in VMEM)
-        resolve_merged = (not use_kernel) and self.H > STASH_MAX_H
+        # STASH_MAX_H/STASH_MAX_BYTES; the kernel path always re-solves
+        # (in VMEM).  K_all = candidates stashed per block: the S initial
+        # states plus every generation's children (vary_Kn call order).
+        K_all = cfg.S + cfg.n_generations * cfg.children_per_gen
+        stash_bytes = 4 * B * K_all * self.H * (self.H + 1)
+        resolve_merged = (not use_kernel) and (
+            self.H > STASH_MAX_H or stash_bytes > STASH_MAX_BYTES)
 
         def estep_block(keys_b, ss_b, G_b, Wty_b, y2_b, valid_b, g_axis):
             """Block-level evolutionary E-step (mirrors BSC._estep_block):
             the K-state and per-generation children evaluations run as one
-            batched call each.  On the XLA path at H <= STASH_MAX_H, the
-            slab quantities (kappa, lambda) that fall out of the candidate
-            solves are stashed in call order — exactly the candidate order
-            of vary_Kn's concat(old, children) — so the EM step reuses the
-            solves for the sufficient statistics.  At larger H (and always
-            on the Pallas path) the stash is skipped and the merged set
-            re-solved: the [B, K_all, H, H] stash costs more HBM traffic
-            than the S extra solves (the kernels re-solve in VMEM)."""
+            batched call each.  On the XLA path (stash affordable — the
+            measured-faster default, see STASH_MAX_H), the slab quantities
+            (kappa, lambda) that fall out of the candidate solves are
+            stashed in call order — exactly the candidate order of
+            vary_Kn's concat(old, children) — so the EM step reuses the
+            solves for the sufficient statistics.  When the [B, K_all, H,
+            H] stash cannot fit (and always on the Pallas path, whose
+            suffstat kernel re-solves in VMEM) the stash is skipped and
+            the merged set re-solved one slot at a time."""
             B = ss_b.shape[0]
             kappa_stash, lam_stash = [], []
 

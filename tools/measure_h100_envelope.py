@@ -188,43 +188,60 @@ def _xla_setup():
 
 
 def xla_resolve_phase():
-    """Resolve-path A/B leg + kernel-vs-XLA F parity (ONE slow compile)."""
+    """Resolve-path A/B leg + kernel-vs-XLA F parity (ONE slow compile).
+
+    MEASURED 2026-08-19 on the v5e (H=100 N=2048): resolve 2590.6 ms/epoch
+    (compile 2225 s), stash 2346.5 ms/epoch (compile 2182 s) — stash wins
+    1.10x, so STASH_MAX_H now defaults to 128 and this leg FORCES the
+    resolve path to stay reproducible."""
     import jax
 
+    import evo_tpu.models.sssc as sssc_mod
     from evo_tpu.models.sssc import SSSC
 
     (H, D), (data, cfg, estate0, params0), _ab = _xla_setup()
 
-    # --- XLA resolve path (the new H>64 default): A/B leg 1. Its compile
-    # is reused by the parity loop below (same model dataclass, no
-    # clear_caches in between), so the leg pays one slow compile.
+    # --- XLA resolve path: A/B leg 1. Its compile is reused by the parity
+    # loop below (same model dataclass, no clear_caches in between), so
+    # the leg pays one slow compile.
+    saved = sssc_mod.STASH_MAX_H
+    sssc_mod.STASH_MAX_H = 0  # force re-solve (stash is the default now)
+    jax.clear_caches()
     model_x = SSSC(D=D, H=H, lpj_kernel="xla")
-    dt_x = _ab("xla_resolve", model_x)
+    try:
+        dt_x = _ab("xla_resolve", model_x)
 
-    # --- kernel-vs-XLA F parity over 5 epochs with shared keys
-    from evo_tpu.ops.pallas_sssc import pallas_sssc_applicable
+        # --- kernel-vs-XLA F parity over 5 epochs with shared keys
+        # (still inside the forced-resolve scope: the parity loop reuses
+        # model_x's compiled resolve-path executable)
+        from evo_tpu.ops.pallas_sssc import pallas_sssc_applicable
 
-    B = data.y.shape[1]  # per-block batch, the kernel's tiling unit
-    if not pallas_sssc_applicable(B, cfg.S, H):
-        _p("pallas kernels not applicable on this backend/config — "
-           "skipping the F-parity sub-step (CPU smoke mode)")
-        return
-    model_k = SSSC(D=D, H=H, lpj_kernel="pallas")
-    Fks, Fxs = [], []
-    pk, ek = params0, estate0
-    px, ex = params0, estate0
-    _p("F parity: 5 shared-key epochs kernel vs xla...")
-    for e in range(5):
-        key = jax.random.fold_in(jax.random.key(5), e)
-        pk, ek, sk, _ = model_k.em_step(pk, ek, data, key, cfg)
-        px, ex, sx, _ = model_x.em_step(px, ex, data, key, cfg)
-        Fks.append(float(sk.F)); Fxs.append(float(sx.F))
-    _p("F parity (kernel vs xla): "
-       f"{list(zip([round(f,3) for f in Fks], [round(f,3) for f in Fxs]))}")
-    pk, ek, _ = run_epochs(model_k, pk, ek, data, cfg, 3, jax.random.key(8))
-    dt_k, Fk = timed_epochs(model_k, pk, ek, data, cfg, jax.random.key(9))
-    _p(f"kernel re-timed: {dt_k*1000:.2f} ms/epoch "
-       f"-> {dt_x/dt_k:.1f}x over XLA-resolve")
+        B = data.y.shape[1]  # per-block batch, the kernel's tiling unit
+        if not pallas_sssc_applicable(B, cfg.S, H):
+            _p("pallas kernels not applicable on this backend/config — "
+               "skipping the F-parity sub-step (CPU smoke mode)")
+            return
+        model_k = SSSC(D=D, H=H, lpj_kernel="pallas")
+        Fks, Fxs = [], []
+        pk, ek = params0, estate0
+        px, ex = params0, estate0
+        _p("F parity: 5 shared-key epochs kernel vs xla...")
+        for e in range(5):
+            key = jax.random.fold_in(jax.random.key(5), e)
+            pk, ek, sk, _ = model_k.em_step(pk, ek, data, key, cfg)
+            px, ex, sx, _ = model_x.em_step(px, ex, data, key, cfg)
+            Fks.append(float(sk.F)); Fxs.append(float(sx.F))
+        _p("F parity (kernel vs xla): "
+           f"{list(zip([round(f,3) for f in Fks], [round(f,3) for f in Fxs]))}")
+        pk, ek, _ = run_epochs(model_k, pk, ek, data, cfg, 3,
+                               jax.random.key(8))
+        dt_k, Fk = timed_epochs(model_k, pk, ek, data, cfg,
+                                jax.random.key(9))
+        _p(f"kernel re-timed: {dt_k*1000:.2f} ms/epoch "
+           f"-> {dt_x/dt_k:.1f}x over XLA-resolve")
+    finally:
+        sssc_mod.STASH_MAX_H = saved
+        jax.clear_caches()
 
 
 def xla_stash_phase():
@@ -236,14 +253,15 @@ def xla_stash_phase():
 
     (H, D), _, _ab = _xla_setup()
 
-    sssc_mod.STASH_MAX_H = 128
+    saved = sssc_mod.STASH_MAX_H
+    sssc_mod.STASH_MAX_H = 128  # the default since the 2026-08-19 A/B
     jax.clear_caches()
     try:
         dt_s = _ab("xla_stash", SSSC(D=D, H=H, lpj_kernel="xla"))
         _p(f"stash leg: {dt_s*1000:.1f} ms/epoch — compare against the "
            "xla_resolve line from the xla-resolve run")
     finally:
-        sssc_mod.STASH_MAX_H = 64
+        sssc_mod.STASH_MAX_H = saved
         jax.clear_caches()
 
 
