@@ -364,13 +364,16 @@ class SSSC:
 
         # fused Pallas slab-solve path: candidate lpj from the VMEM-resident
         # LU kernel; sufficient statistics re-solved for the merged K^(n)
-        # by the suffstat kernel (no kappa/lambda stash through HBM)
+        # by the suffstat kernel (no kappa/lambda stash through HBM).
+        # Incomplete data dispatches to the MASKED-Gram kernels (per-
+        # datapoint G_n streamed per tile; Hp <= 64, no compaction) —
+        # the inpainting production path runs kernel-speed too.
         use_kernel = (
             self.lpj_kernel in ("auto", "pallas", "pallas_full")
-            and not data.incomplete
             and dt == jnp.float32
             and not cfg.packed_states
-            and pallas_sssc_applicable(B, cfg.S, self.H)
+            and pallas_sssc_applicable(B, cfg.S, self.H,
+                                       incomplete=data.incomplete)
         )
         # None = the kernels' auto compaction policy; False forces the
         # full-Hp solve path (lpj_kernel="pallas_full")
@@ -387,9 +390,9 @@ class SSSC:
                 f"lpj_kernel='{self.lpj_kernel}' is not applicable here "
                 f"(incomplete={data.incomplete}, dtype={dt}, "
                 f"packed_states={cfg.packed_states}, B={B}, H={self.H}; "
-                "the kernel needs a TPU backend, complete f32 unpacked "
-                f"data, pow2-padded H <= 128 and, at H={self.H} "
-                f"(Hp={Hp}), B % {_tb_lpj(Hp)} == 0 and "
+                "the kernel needs a TPU backend, f32 unpacked data, "
+                f"pow2-padded H <= 128 (<= 64 for incomplete data) and, "
+                f"at H={self.H} (Hp={Hp}), B % {_tb_lpj(Hp)} == 0 and "
                 f"B % {_tb_ss(Hp)} == 0 — see pallas_sssc_applicable); "
                 "use lpj_kernel='auto'"
             )

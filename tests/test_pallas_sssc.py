@@ -377,3 +377,92 @@ def test_suffstat_kernel_hp128_buckets():
         scale = np.abs(ref).max() + 1e-6
         np.testing.assert_allclose(np.asarray(got) / scale, ref / scale,
                                    atol=5e-5, err_msg=name)
+
+
+# ------------------------------------------------- masked-Gram (incomplete)
+
+
+def _masked_problem(B, K, H, D, seed=0, p=0.25, miss=0.15):
+    """Incomplete-data analog of _problem: per-datapoint Gram
+    G_n = W^T diag(m_n) W, masked Wty/y2 (reference sssc.py:268-318 with
+    the storage-off incomplete branch, _models.py:426-431)."""
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((D, H)).astype(np.float32)
+    Psi0 = rng.standard_normal((H, H)).astype(np.float32)
+    Psi = (Psi0 @ Psi0.T / H + np.eye(H)).astype(np.float32)
+    mus = rng.standard_normal(H).astype(np.float32)
+    pil = rng.standard_normal(H).astype(np.float32)
+    s2inv = np.float32(0.7)
+    Y = rng.standard_normal((B, D)).astype(np.float32)
+    m = (rng.random((B, D)) >= miss).astype(np.float32)
+    Ym = Y * m
+    Gn = np.einsum("di,bd,dj->bij", W, m, W).astype(np.float32)
+    Wty = (Ym @ W).astype(np.float32)
+    y2 = (Ym * Ym).sum(-1).astype(np.float32)
+    ss = (rng.random((B, K, H)) < p).astype(np.int8)
+    rs = rng.random((B, K)).astype(np.float32)
+    rs /= rs.sum(1, keepdims=True)
+    return dict(Gn=Gn, Psi=Psi, mus=mus, pil=pil, s2inv=s2inv, Wty=Wty,
+                y2=y2, ss=ss, rs=rs)
+
+
+def _oracle_masked(p):
+    return jax.vmap(
+        SSSC._lpj_states, in_axes=(0, 0, 0, 0, None, None, None, None)
+    )(jnp.asarray(p["ss"]), jnp.asarray(p["Gn"]), jnp.asarray(p["Wty"]),
+      jnp.asarray(p["y2"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+      jnp.asarray(p["s2inv"]), jnp.asarray(p["pil"]))
+
+
+@pytest.mark.parametrize("H,K", [(12, 3), (32, 5), (48, 4)])
+def test_lpj_masked_kernel_matches_xla_path(H, K):
+    from evo_tpu.ops.pallas_sssc import _tb_masked
+    from evo_tpu.ops.linalg import _next_pow2
+
+    B = _tb_masked(max(8, _next_pow2(H))) * 2
+    p = _masked_problem(B, K, H, D=9)
+    lpj_o = _oracle_masked(p)[0]
+    lpj_k, bad = sssc_lpj_pallas(
+        jnp.asarray(p["ss"]), jnp.asarray(p["Wty"]), jnp.asarray(p["y2"]),
+        jnp.asarray(p["Gn"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        jnp.asarray(p["pil"]), p["s2inv"], interpret=True)
+    assert float(bad.sum()) == 0
+    np.testing.assert_allclose(np.asarray(lpj_k), np.asarray(lpj_o),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_suffstat_masked_kernel_matches_einsum_expectations():
+    from evo_tpu.ops.pallas_sssc import _tb_masked
+
+    H, S = 16, 4
+    B = _tb_masked(16) * 2
+    p = _masked_problem(B, S, H, D=11, seed=1)
+    _, _, kappa_o, lam_o = _oracle_masked(p)
+    rs = jnp.asarray(p["rs"])
+    sf = jnp.asarray(p["ss"], jnp.float32)
+    want = dict(
+        xpt_sz=jnp.einsum("bs,bsh->bh", rs, kappa_o),
+        xpt_s=jnp.einsum("bs,bsh->bh", rs, sf),
+        xpt_ss=jnp.einsum("bs,bsh,bsk->hk", rs, sf, sf),
+        xpt_szsz=jnp.einsum("bs,bshj->hj", rs, lam_o)
+        + jnp.einsum("bs,bsh,bsj->hj", rs, kappa_o, kappa_o),
+    )
+    want["s_sz"] = jnp.einsum("bh,bk->hk", want["xpt_s"], want["xpt_sz"])
+    want["sz_sz"] = jnp.einsum("bh,bk->hk", want["xpt_sz"], want["xpt_sz"])
+    out = sssc_suffstat_pallas(
+        jnp.asarray(p["ss"]), rs, jnp.asarray(p["Wty"]),
+        jnp.asarray(p["Gn"]), jnp.asarray(p["Psi"]), jnp.asarray(p["mus"]),
+        p["s2inv"], interpret=True)
+    names = ["xpt_sz", "xpt_s", "xpt_ss", "xpt_szsz", "s_sz", "sz_sz"]
+    for name, got in zip(names, out):
+        ref = np.asarray(want[name])
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(got) / scale, ref / scale,
+                                   atol=5e-5, err_msg=name)
+
+
+def test_masked_gate():
+    from evo_tpu.ops.pallas_sssc import pallas_sssc_applicable
+
+    # CPU backend: never applicable (the tests' conftest forces CPU)
+    assert not pallas_sssc_applicable(512, 20, 32, incomplete=True)
