@@ -167,6 +167,11 @@ def viz_parser():
     p.add_argument("--gif_framerate", type=str, default=None,
                    help="Frames per second for gif animation (e.g. 2/1); "
                         "no gif if unspecified")
+    p.add_argument("--host_merge", action="store_true", default=False,
+                   help="Merge reconstructed patches on the host (NumPy "
+                        "f64) instead of on the device; the device merge "
+                        "is bit-tolerance-identical and keeps the ~2 s "
+                        "full-res nanmedian off the epoch critical path")
     return p
 
 
@@ -207,7 +212,9 @@ def setup_experiment(args, name: str):
     os.makedirs(outdir, exist_ok=True)
     training_file = os.path.join(outdir, "training.h5")
     dlog = DataLog()
-    dlog.set_handler(["*"], StoreToH5, training_file)
+    # async: the gzip of large appends (reco_img_* is ~0.4 s each at full
+    # resolution) runs on the AutoTable writer thread, off the epoch loop
+    dlog.set_handler(["*"], StoreToH5, training_file, async_writes=True)
     txt_file = os.path.join(outdir, "terminal.txt")
     # unwind any tee left by a previous experiment in this process: chained
     # tees would write this run's output into the earlier run's

@@ -160,8 +160,26 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
     # device floats.  Reference semantics unchanged
     # (image-inpainting/main.py:172-176 gathers the full matrix only
     # because MPI has no cheaper channel).
+    # Device-side merge + PSNR (single-process, non-CPU backends): the
+    # full-res host nanmean/nanmedian merge costs ~2 s/epoch — 5-10x the
+    # device epoch — and inpainting merges EVERY epoch (reference
+    # image-inpainting/params.py:145-149 defaults viz_every=1 and
+    # merge_every=viz_every).  The device merge reduces the per-epoch
+    # readback to two PSNR scalars + the merged images, and is
+    # tolerance-tested against the host path (tests/test_device_merge.py).
+    # --host_merge restores the NumPy f64 path (the parity oracle).
+    device_merge = None
+    if (_jax.process_count() == 1 and _jax.default_backend() != "cpu"
+            and not getattr(args, "host_merge", False)):
+        import jax.numpy as _jnp
+
+        from evo_tpu.prepost.device_merge import DeviceMerger
+
+        device_merge = DeviceMerger(ovp, clean, data_range=255.0)
+        dc_dev = _jnp.asarray(dc, _jnp.float32)
+
     compact_reco = None
-    if (inpainting and _jax.process_count() == 1
+    if (inpainting and _jax.process_count() == 1 and device_merge is None
             and getattr(args, "compact_readback", True)):
         import jax.numpy as _jnp
 
@@ -190,7 +208,20 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
         do_merge = y_rec is not None and (epoch == 1 or epoch % merge_every == 0
                                           or epoch == args.no_epochs)
         rec_img, psnr_val = None, None
-        if do_merge:
+        if do_merge and device_merge is not None:
+            out = device_merge(y_rec, dc_dev)
+            for mname in merge_strategies:
+                p = float(out[f"psnr_{mname}"])
+                # keep f32 (the device dtype): halves the h5 append bytes;
+                # 0..255 image values lose nothing vs the host path's f64
+                img = np.asarray(out[mname])
+                dlog.append(f"psnr_{mname}", p)
+                dlog.append(f"reco_img_{mname}", img)
+                print(f"\tpsnr_{mname} = {p:.3f}")
+                if mname == "mean":
+                    rec_img, psnr_val = img, p
+            last.update(rec=rec_img, psnr=psnr_val)
+        elif do_merge:
             Y_rec = (compact_reco(y_rec) if compact_reco is not None
                      else gather_reconstruction(y_rec, N) + dc)
             for mname, merger in merge_strategies.items():

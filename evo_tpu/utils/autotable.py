@@ -5,10 +5,27 @@ Same capability as the reference's PyTables-based AutoTable
 first append, compression, flush per append, `assign` = overwrite semantics),
 re-implemented on h5py (PyTables is not available in this image and h5py is
 the leaner dependency).
+
+Compression mirrors the reference's `tables.Filters(complevel=1,
+complib="zlib", shuffle=True)` (reference autotable.py:264): gzip level 1
+with the byte shuffle — measured ~1.5x faster per full-resolution image
+append than h5py's default gzip level 4, at the same file size.
+
+`async_writes=True` moves every HDF5 operation onto one dedicated writer
+thread (h5py handles must not be shared across concurrently-writing
+threads): `append`/`assign` validate synchronously (so shape errors still
+raise at the call site), snapshot the value, and enqueue; `close()` drains
+the queue before closing the file.  This takes the gzip cost of large
+per-epoch appends (e.g. the image apps' `reco_img_*`, ~0.4 s each at full
+resolution) off the training loop's critical path — the reference writes
+synchronously, but its epochs are minutes, not milliseconds.  Worker
+exceptions are re-raised on the next call or at `close()`.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from time import strftime
 from typing import Optional
 
@@ -25,7 +42,7 @@ class AutoTable:
     """
 
     def __init__(self, fname: Optional[str] = None, compression: str = "gzip",
-                 warnings: bool = True):
+                 warnings: bool = True, async_writes: bool = False):
         import h5py
 
         self.fname = fname or self._guess_fname()
@@ -33,15 +50,33 @@ class AutoTable:
         self.compression = compression
         self.warnings = warnings
         self._assigned = set()
+        # synchronous-validation cache: name -> (shape, is_string); lets the
+        # async path raise shape mismatches at the append() call site
+        self._shapes = {}
+        self._q = None
+        self._worker = None
+        self._exc = None
+        if async_writes:
+            # bounded: back-pressure instead of unbounded buffering if the
+            # writer falls behind
+            self._q = queue.Queue(maxsize=16)
+            self._worker = threading.Thread(target=self._drain, daemon=True)
+            self._worker.start()
 
     @staticmethod
     def _guess_fname() -> str:
         return strftime("autotable-%Y%m%d-%H%M%S.h5")
 
     def close(self):
+        if self._q is not None:
+            self._q.put(None)
+            self._worker.join()
+            self._q = None
+            self._worker = None
         if self.h5 is not None:
             self.h5.close()
             self.h5 = None
+        self._raise_pending()
 
     def __del__(self):  # pragma: no cover
         try:
@@ -49,6 +84,29 @@ class AutoTable:
         except Exception:
             pass
 
+    # ---- async plumbing ----------------------------------------------------
+    def _drain(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            op, name, row = item
+            if self._exc is not None:
+                continue  # keep consuming so producers never block forever
+            try:
+                if op == "append":
+                    self._append_sync(name, row)
+                else:
+                    self._assign_sync(name, row)
+            except Exception as e:  # pragma: no cover - surfaced by _raise
+                self._exc = e
+
+    def _raise_pending(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    # ---- value handling ----------------------------------------------------
     @staticmethod
     def _to_array(value) -> np.ndarray:
         if isinstance(value, str):
@@ -63,7 +121,12 @@ class AutoTable:
 
         kwargs = {}
         if row.ndim > 0 or row.size > 1:
+            # reference parity: Filters(complevel=1, complib="zlib",
+            # shuffle=True) — reference autotable.py:264
             kwargs["compression"] = self.compression
+            if self.compression == "gzip":
+                kwargs["compression_opts"] = 1
+                kwargs["shuffle"] = True
         if row.dtype.kind == "S" or row.dtype.kind == "U":
             dt = h5py.string_dtype()
             self.h5.create_dataset(name, shape=(0,), maxshape=(None,), dtype=dt)
@@ -73,8 +136,26 @@ class AutoTable:
                 dtype=row.dtype, **kwargs,
             )
 
+    # ---- public API ----------------------------------------------------------
     def append(self, name: str, value):
+        self._raise_pending()
         row = self._to_array(value)
+        if self._q is None:
+            return self._append_sync(name, row)
+        # validate at the call site (the worker would raise asynchronously)
+        known = self._shapes.get(name)
+        if known is not None:
+            shape, is_str = known
+            if not is_str and shape != row.shape:
+                raise ValueError(
+                    f"shape mismatch appending to '{name}': "
+                    f"{row.shape} vs {shape}"
+                )
+        else:
+            self._shapes[name] = (row.shape, row.dtype.kind in "SU")
+        self._q.put(("append", name, np.array(row, copy=True)))
+
+    def _append_sync(self, name: str, row: np.ndarray):
         if name not in self.h5:
             self._create(name, row)
         ds = self.h5[name]
@@ -100,7 +181,14 @@ class AutoTable:
     def assign(self, name: str, value):
         """Overwrite semantics (reference autotable.py:133-173): the dataset
         always holds the latest value only."""
+        self._raise_pending()
         row = self._to_array(value)
+        if self._q is None:
+            return self._assign_sync(name, row)
+        self._shapes[name] = (row.shape, row.dtype.kind in "SU")
+        self._q.put(("assign", name, np.array(row, copy=True)))
+
+    def _assign_sync(self, name: str, row: np.ndarray):
         if name in self.h5 and (name not in self._assigned
                                 or self.h5[name].shape[1:] != row.shape):
             del self.h5[name]

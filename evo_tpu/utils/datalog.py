@@ -66,7 +66,8 @@ class StoreToH5(DataHandler):
     shared default table; pass the same AutoTable instance explicitly to
     share a file between handlers."""
 
-    def __init__(self, destination=None, warnings: bool = True):
+    def __init__(self, destination=None, warnings: bool = True,
+                 async_writes: bool = False):
         self.destination = destination
         if not _is_primary():
             self.autotbl = None
@@ -74,7 +75,8 @@ class StoreToH5(DataHandler):
         if isinstance(destination, AutoTable):
             self.autotbl = destination
         elif isinstance(destination, str) or destination is None:
-            self.autotbl = AutoTable(destination, warnings=warnings)
+            self.autotbl = AutoTable(destination, warnings=warnings,
+                                     async_writes=async_writes)
         else:
             raise TypeError("expects an AutoTable instance, a filename, or None")
 

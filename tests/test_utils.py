@@ -339,3 +339,31 @@ def test_checkpoint_fingerprint_rejects_changed_config(tmp_path):
     save_checkpoint(path2, params, estate, epoch=3, key=jax.random.key(3))
     load_checkpoint(path2, params_like=params, cfg=cfg_mut, model=model,
                     data=data)
+
+
+def test_autotable_async_writes(tmp_path):
+    """async_writes=True: same file contents, shape errors still raise at
+    the call site, values are snapshotted at enqueue time (later caller
+    mutation must not corrupt the stored row), close() drains the queue."""
+    from evo_tpu.utils.autotable import AutoTable
+
+    path = str(tmp_path / "a.h5")
+    tab = AutoTable(path, async_writes=True)
+    buf = np.ones((3, 2))
+    tab.append("W", buf)
+    buf[:] = -1.0  # mutate after enqueue: stored row must stay ones
+    tab.append("W", 2 * np.ones((3, 2)))
+    with pytest.raises(ValueError):
+        tab.append("W", np.ones((4, 2)))  # call-site validation
+    tab.append("F", 1.5)
+    tab.assign("latest", np.arange(4))
+    tab.assign("latest", np.arange(4) + 1)
+    tab.close()
+    import h5py
+
+    with h5py.File(path) as f:
+        assert f["W"].shape == (2, 3, 2)
+        assert np.allclose(f["W"][0], 1.0)
+        assert np.allclose(f["W"][1], 2.0)
+        np.testing.assert_allclose(f["F"][:], [1.5])
+        np.testing.assert_allclose(f["latest"][:], [[1, 2, 3, 4]])

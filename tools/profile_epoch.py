@@ -52,7 +52,11 @@ def run_epochs(logdir):
         N = N_BLOCKS * B
         to_learn = (("W", "pies", "sigma2") if miss_frac > 0
                     else SSSC.to_learn)
-        model = SSSC(D=D, H=H, to_learn=to_learn)
+        # LPJ_KERNEL={auto,pallas,pallas_full,xla} forces the lpj path
+        # (anything not in the pallas set disables the kernels) — used for
+        # the masked-path kernel-vs-XLA A/B at the inpainting config.
+        model = SSSC(D=D, H=H, to_learn=to_learn,
+                     lpj_kernel=os.environ.get("LPJ_KERNEL", "auto"))
     else:
         from evo_tpu.models.bsc import BSC
 
