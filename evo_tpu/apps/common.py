@@ -232,11 +232,18 @@ def setup_experiment(args, name: str):
 
 
 def params_to_dict(params) -> dict:
-    """Model params dataclass -> {name: np.ndarray} for logging."""
+    """Model params dataclass -> {name: np.ndarray} for logging.
+
+    ONE batched device->host transfer: per-field np.asarray would pay one
+    dispatch round-trip each (~35 ms apiece through a tunneled TPU — it made
+    per-epoch Theta logging cost ~0.12 s at 4 fields; see CLAUDE.md)."""
     import dataclasses
 
-    return {f.name: np.asarray(getattr(params, f.name))
-            for f in dataclasses.fields(params)}
+    import jax
+
+    host = jax.device_get(
+        {f.name: getattr(params, f.name) for f in dataclasses.fields(params)})
+    return {k: np.asarray(v) for k, v in host.items()}
 
 
 def warm_d2h_async(verbose: bool = False):

@@ -16,6 +16,7 @@ from evo_tpu.apps.viz import ReconstructionVisualizer
 from evo_tpu.models import make_data
 from evo_tpu.models.bsc import BSC
 from evo_tpu.models.sssc import SSSC
+from evo_tpu.utils import tracing
 from evo_tpu.prepost import (
     MultiDimOverlappingPatches,
     OverlappingPatches,
@@ -209,11 +210,17 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
                                           or epoch == args.no_epochs)
         rec_img, psnr_val = None, None
         if do_merge and device_merge is not None:
+            tracing.tracepoint("device_merge:begin")
             out = device_merge(y_rec, dc_dev)
+            # ONE batched d2h round trip for the two PSNR scalars + two
+            # merged images (per-array np.asarray/float pays a ~35 ms
+            # tunnel dispatch round-trip EACH; images stay f32, the device
+            # dtype — halves the h5 append bytes, and 0..255 image values
+            # lose nothing vs the host path's f64)
+            out = _jax.device_get(out)
+            tracing.tracepoint("device_merge:end")  # blocks on everything
             for mname in merge_strategies:
                 p = float(out[f"psnr_{mname}"])
-                # keep f32 (the device dtype): halves the h5 append bytes;
-                # 0..255 image values lose nothing vs the host path's f64
                 img = np.asarray(out[mname])
                 dlog.append(f"psnr_{mname}", p)
                 dlog.append(f"reco_img_{mname}", img)
@@ -233,8 +240,10 @@ def _run_patch_experiment(args, clean, corrupted, x_keep, name):
                 if mname == "mean":
                     rec_img, psnr_val = img, p
             last.update(rec=rec_img, psnr=psnr_val)
+        tracing.tracepoint("viz:begin")
         visualizer.process_epoch(epoch=epoch, F=F, params=params,
                                  rec=last.get("rec"), psnr_val=last.get("psnr"))
+        tracing.tracepoint("viz:end")
 
     trainer = EMTrainer(model, cfg, params, estate, data, dlog, outdir,
                         seed=args.seed + 1,
