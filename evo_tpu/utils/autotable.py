@@ -127,6 +127,19 @@ class AutoTable:
             if self.compression == "gzip":
                 kwargs["compression_opts"] = 1
                 kwargs["shuffle"] = True
+            if row.nbytes >= 4096:
+                # One row per chunk.  h5py's auto-chunking spans MANY rows
+                # along the append axis (e.g. (64, 21, 31, 1) for a full-res
+                # [321, 481, 3] image row), so every append is a
+                # read-modify-write of every gzip chunk holding up to 63
+                # PAST rows — per-append cost starts ~10x higher and grows
+                # as the chunks fill (measured 432 -> 513 ms over 100
+                # appends; the full-res inpainting app crept +45 ms/epoch).
+                # A (1, *row.shape) chunk appends in a flat ~44 ms.  Tiny
+                # rows (scalars, small vectors) keep the auto chunk: the
+                # rewritten chunk is a few KB and h5 per-chunk overhead
+                # would dominate one-row chunks.
+                kwargs["chunks"] = (1,) + row.shape
         if row.dtype.kind == "S" or row.dtype.kind == "U":
             dt = h5py.string_dtype()
             self.h5.create_dataset(name, shape=(0,), maxshape=(None,), dtype=dt)

@@ -367,3 +367,24 @@ def test_autotable_async_writes(tmp_path):
         assert np.allclose(f["W"][1], 2.0)
         np.testing.assert_allclose(f["F"][:], [1.5])
         np.testing.assert_allclose(f["latest"][:], [[1, 2, 3, 4]])
+
+
+def test_autotable_large_rows_get_one_row_chunks(tmp_path):
+    """Large rows (>= 4 KB) must be stored one row per h5 chunk: h5py's
+    auto-chunking spans ~64 rows along the append axis, which turns every
+    append into a read-modify-write of gzip chunks holding past rows —
+    per-append cost then GROWS with the epoch count (the full-res
+    inpainting app crept +45 ms/epoch before the explicit chunks)."""
+    from evo_tpu.utils.autotable import AutoTable
+
+    path = str(tmp_path / "c.h5")
+    tab = AutoTable(path)
+    img = np.zeros((64, 48, 3), np.float32)  # 36 KB row
+    tab.append("img", img)
+    tab.append("F", 1.0)  # scalar row: auto chunking is fine
+    tab.close()
+    import h5py
+
+    with h5py.File(path) as f:
+        assert f["img"].chunks == (1, 64, 48, 3)
+        assert f["img"].compression == "gzip"
